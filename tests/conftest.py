@@ -1,0 +1,30 @@
+"""Test configuration: force the CPU backend with 8 virtual devices.
+
+Multi-device tests exercise the data-parallel mesh without a real TPU
+slice (SURVEY.md section 4).  Environment variables must be set before
+jax initializes, hence the assignments at import time.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "--xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+# The container's sitecustomize registers the TPU plugin and pins
+# JAX_PLATFORMS before conftest runs; override through the config API so
+# tests always run on the virtual 8-device CPU backend.
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
