@@ -1,0 +1,129 @@
+"""Spatial transformer: affine grid generation + bilinear grid sampling.
+
+TPU-native replacement for the reference's ``transformation_2D`` module
+(duplicated in 10 files, e.g. MNIST/EAD-GAN_rpqmnxy.py:178-192,
+dSprites/rp.py:199-213), which wraps PyTorch's ATen
+``F.affine_grid`` / ``F.grid_sample`` kernels (N2 in SURVEY.md 2.2).
+
+Semantics match PyTorch 1.7 defaults (``align_corners=False``) exactly —
+golden-tested against torch CPU in tests/test_stn.py.  Both padding
+modes the reference uses are supported: ``'border'`` (all trainers) and
+``'zeros'`` (colored pxy pretrainer, colored_dSprites/pxy_color.py:90,
+and every score/ metric file).
+
+Layout is NHWC — the TPU-preferred image layout (channels on the
+128-wide lane dimension).  The four-tap bilinear gather is expressed as
+batched ``take_along_axis`` over the flattened spatial axis, which XLA
+lowers to efficient dynamic-gathers; the grid construction itself is a
+(2, 3) x (3, HW) matmul fused into the surrounding jitted step.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["affine_grid", "grid_sample", "warp_affine"]
+
+
+def _base_grid(height: int, width: int, dtype) -> jnp.ndarray:
+    """Normalized sampling locations, PyTorch ``align_corners=False``
+    convention: pixel centers at (2*i + 1)/n - 1.  Returns (H*W, 3)
+    rows of (x, y, 1)."""
+    xs = (2.0 * jnp.arange(width, dtype=dtype) + 1.0) / width - 1.0
+    ys = (2.0 * jnp.arange(height, dtype=dtype) + 1.0) / height - 1.0
+    grid_x = jnp.tile(xs[None, :], (height, 1))
+    grid_y = jnp.tile(ys[:, None], (1, width))
+    ones = jnp.ones((height, width), dtype=dtype)
+    return jnp.stack([grid_x, grid_y, ones], axis=-1).reshape(height * width, 3)
+
+
+def affine_grid(theta: jnp.ndarray, height: int, width: int) -> jnp.ndarray:
+    """Source sampling coordinates for a batch of 2x3 affine maps.
+
+    ``theta``: (N, 2, 3) — the top two rows of the 3x3 affine matrix,
+    as the reference slices with ``matrix_2D[:, 0:2]``
+    (dSprites/rp.py:377,400).  Returns (N, H*W, 2) normalized (x, y)
+    source coordinates.
+    """
+    base = _base_grid(height, width, theta.dtype)  # (HW, 3)
+    # (N, 2, 3) @ (3, HW) -> (N, 2, HW); tiny matmul, keep it exact.
+    coords = jnp.einsum(
+        "nij,pj->npi", theta, base, precision=jax.lax.Precision.HIGHEST
+    )
+    return coords  # (N, HW, 2)
+
+
+@functools.partial(jax.jit, static_argnames=("padding_mode",))
+def grid_sample(
+    img: jnp.ndarray, coords: jnp.ndarray, padding_mode: str = "border"
+) -> jnp.ndarray:
+    """Bilinear sampling of an NHWC batch at normalized coordinates.
+
+    ``img``: (N, H, W, C); ``coords``: (N, P, 2) normalized (x, y) with
+    ``align_corners=False`` unnormalization ``ix = ((x + 1) * W - 1)/2``.
+    Returns (N, P, C).
+
+    ``padding_mode='border'`` clips coordinates to the edge before
+    computing taps; ``'zeros'`` masks out-of-bounds taps to zero —
+    bit-matching torch 1.7 ``F.grid_sample`` (golden tests).
+    """
+    if padding_mode not in ("border", "zeros"):
+        raise ValueError(f"unsupported padding_mode: {padding_mode!r}")
+
+    n, h, w, c = img.shape
+    x = (coords[..., 0] + 1.0) * (w * 0.5) - 0.5
+    y = (coords[..., 1] + 1.0) * (h * 0.5) - 0.5
+
+    if padding_mode == "border":
+        x = jnp.clip(x, 0.0, w - 1.0)
+        y = jnp.clip(y, 0.0, h - 1.0)
+
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    wx = x - x0
+    wy = y - y0
+
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+    x1i = x0i + 1
+    y1i = y0i + 1
+
+    img_flat = img.reshape(n, h * w, c)
+
+    def tap(yi, xi, weight):
+        if padding_mode == "zeros":
+            valid = (xi >= 0) & (xi < w) & (yi >= 0) & (yi < h)
+            weight = weight * valid.astype(img.dtype)
+        yi = jnp.clip(yi, 0, h - 1)
+        xi = jnp.clip(xi, 0, w - 1)
+        idx = yi * w + xi  # (N, P)
+        vals = jnp.take_along_axis(img_flat, idx[..., None], axis=1)  # (N, P, C)
+        return vals * weight[..., None]
+
+    out = (
+        tap(y0i, x0i, (1.0 - wy) * (1.0 - wx))
+        + tap(y0i, x1i, (1.0 - wy) * wx)
+        + tap(y1i, x0i, wy * (1.0 - wx))
+        + tap(y1i, x1i, wy * wx)
+    )
+    return out
+
+
+def warp_affine(
+    img: jnp.ndarray, matrix: jnp.ndarray, padding_mode: str = "border"
+) -> jnp.ndarray:
+    """Warp an NHWC batch by 3x3 (or 2x3) affine matrices.
+
+    Equivalent to the reference's ``trans_2D(img, matrix[:, 0:2])``
+    call chain (affine_grid + grid_sample).  Accepts the full (N, 3, 3)
+    matrices produced by :mod:`eadgan_tpu.transforms` and slices the
+    top two rows itself.
+    """
+    n, h, w, c = img.shape
+    theta = matrix[:, :2, :] if matrix.shape[-2] == 3 else matrix
+    coords = affine_grid(theta, h, w)
+    out = grid_sample(img, coords, padding_mode=padding_mode)
+    return out.reshape(n, h, w, c)
