@@ -23,7 +23,8 @@ class AffineApproximator(nn.Module):
     depth: int = 4
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, train: bool = True):
+        del train  # no normalization/SN state in this MLP
         for _ in range(self.depth):
             x = TorchDense(self.hidden)(x)
             x = nn.leaky_relu(x, negative_slope=0.01)

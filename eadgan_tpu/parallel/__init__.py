@@ -1,0 +1,20 @@
+"""Distributed scaling (green-field — the reference is single-GPU only,
+SURVEY.md 2.3).
+
+All collectives route through this one module: a ``Mesh`` over the TPU
+slice with a ``data`` axis (batch parallelism over ICI) and an optional
+``model`` axis (output-channel sharding of the large CelebA kernels).
+Train steps stay ordinary jitted functions — placing the batch with a
+``NamedSharding`` over ``data`` and parameters replicated (or sharded
+over ``model``) lets XLA's SPMD partitioner insert the psum/all-gather
+collectives, per the standard scaling-book recipe.
+"""
+
+from eadgan_tpu.parallel.mesh import (
+    default_mesh,
+    replicate,
+    shard_batch,
+    shard_model_params,
+)
+
+__all__ = ["default_mesh", "shard_batch", "replicate", "shard_model_params"]

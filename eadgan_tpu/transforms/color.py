@@ -50,12 +50,12 @@ def regularize_color(
 
 
 def apply_color(img: jnp.ndarray, gain: jnp.ndarray) -> jnp.ndarray:
-    """Multiply an NCHW image batch by per-channel gains (B, C)
+    """Multiply an NHWC image batch by per-channel gains (B, C)
     (colored_dSprites/rp_color.py:420-424)."""
-    return img * gain[:, :, None, None]
+    return img * gain[:, None, None, :]
 
 
 def remove_color(img: jnp.ndarray, gain: jnp.ndarray) -> jnp.ndarray:
-    """Divide an NCHW image batch by per-channel gains (B, C) — the
+    """Divide an NHWC image batch by per-channel gains (B, C) — the
     alignment step (colored_dSprites/rp_color.py:390-394)."""
-    return img / gain[:, :, None, None]
+    return img / gain[:, None, None, :]

@@ -161,7 +161,7 @@ def test_color_roundtrip_and_regularizer(rng, rgb_factor):
 
 
 def test_apply_remove_color_roundtrip(rng):
-    img = rng.uniform(0, 1, size=(4, 3, 8, 8)).astype(np.float32)
+    img = rng.uniform(0, 1, size=(4, 8, 8, 3)).astype(np.float32)
     gain = color_code_to_gain(
         jnp.asarray(rng.uniform(-1, 1, size=(4, 3)).astype(np.float32)), 0.5
     )
