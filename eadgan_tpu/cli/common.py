@@ -1,0 +1,112 @@
+"""Shared CLI plumbing: argparse defaults, epoch engine, model apply
+wrappers."""
+
+from __future__ import annotations
+
+import argparse
+import os
+from typing import Callable, Iterable, Optional
+
+import jax
+
+# Honor EADGAN_PLATFORM=cpu|tpu before any backend initializes — the
+# container's sitecustomize pins JAX_PLATFORMS, so tests and smoke runs
+# need an in-process escape hatch.
+if os.environ.get("EADGAN_PLATFORM"):
+    try:
+        jax.config.update("jax_platforms", os.environ["EADGAN_PLATFORM"])
+    except Exception:
+        pass
+
+import numpy as np
+
+from eadgan_tpu.data import Prefetcher, epoch_batches
+from eadgan_tpu.utils import MetricLogger
+
+__all__ = [
+    "add_adam_args",
+    "add_run_args",
+    "run_epochs",
+    "jit_generator_apply",
+]
+
+
+def add_adam_args(parser: argparse.ArgumentParser, lr: float) -> None:
+    parser.add_argument("--lr", type=float, default=lr, help="adam: learning rate")
+    parser.add_argument("--b1", type=float, default=0.5, help="adam: decay of first order momentum of gradient")
+    parser.add_argument("--b2", type=float, default=0.999, help="adam: decay of first order momentum of gradient")
+
+
+def add_run_args(parser: argparse.ArgumentParser) -> None:
+    parser.add_argument("--n_cpu", type=int, default=8, help="number of cpu threads to use during batch generation")
+    parser.add_argument("--data_dir", type=str, default=".", help="dataset directory")
+    parser.add_argument("--out_dir", type=str, default="images", help="artifact directory")
+    parser.add_argument("--ckpt_dir", type=str, default=".", help="checkpoint directory")
+    parser.add_argument("--seed", type=int, default=0, help="PRNG seed")
+    parser.add_argument("--max_steps", type=int, default=0, help="stop after N batches (0 = full schedule)")
+    parser.add_argument("--jsonl", type=str, default="", help="metrics JSONL path")
+    parser.add_argument("--resume", type=str, default="", help="train-state checkpoint to resume from")
+
+
+def run_epochs(
+    *,
+    n_epochs: int,
+    data: np.ndarray,
+    labels: Optional[np.ndarray],
+    batch_size: int,
+    state,
+    step_fn: Callable,
+    on_batch: Callable,
+    seed: int = 0,
+    max_steps: int = 0,
+    logger: Optional[MetricLogger] = None,
+    metric_keys: Optional[Iterable[str]] = None,
+):
+    """The reference's epoch/batch double loop with device prefetching.
+
+    ``on_batch(batches_done, state, metrics, batch)`` handles sampling /
+    checkpoint side effects; ``step_fn(state, *batch) -> (state, metrics)``.
+    """
+    host_rng = np.random.default_rng(seed)
+    n_batches = data.shape[0] // batch_size
+    start_step = int(jax.device_get(state.step))
+    batches_done = start_step
+    for epoch in range(start_step // max(n_batches, 1), n_epochs):
+        batches = epoch_batches(data, batch_size, host_rng, labels=labels)
+        for batch in Prefetcher(batches):
+            if not isinstance(batch, tuple):
+                batch = (batch,)
+            state, metrics = step_fn(state, *batch)
+            if logger is not None:
+                shown = (
+                    {k: metrics[k] for k in metric_keys} if metric_keys else metrics
+                )
+                logger.log(
+                    batches_done,
+                    shown,
+                    epoch=epoch,
+                    n_epochs=n_epochs,
+                    batch=batches_done % n_batches,
+                    n_batches=n_batches,
+                )
+            on_batch(batches_done, state, metrics, batch)
+            batches_done += 1
+            if max_steps and batches_done - start_step >= max_steps:
+                return state
+    return state
+
+
+def jit_generator_apply(model, get_vars: Callable):
+    """Jitted generator forward for sampling; ``get_vars()`` returns the
+    current ModelVars so samples always reflect the latest params."""
+
+    @jax.jit
+    def fwd(variables, *inputs):
+        out, _ = model.apply(variables, *inputs, mutable=["batch_stats"])
+        return out
+
+    def apply(*inputs):
+        mv = get_vars()
+        return np.asarray(fwd(mv.as_variables(), *[np.asarray(x) for x in inputs]))
+
+    return apply

@@ -1,0 +1,85 @@
+"""CelebA-style image-folder ingest.
+
+Parity with the reference pipeline (celebA/EAD-GAN_celebA.py:194-206):
+Resize(64) on the shorter side, CenterCrop(64), RandomHorizontalFlip,
+normalize to [-1, 1].  Decoding uses PIL on the host; the random flip is
+applied on device inside the training loop's batch placement (cheap
+``jnp.flip`` under the step's PRNG) or here on the host for simplicity.
+Synthesizes face-like color gradients when no images exist.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import List, Optional
+
+import numpy as np
+
+__all__ = ["load_image_folder"]
+
+_EXTS = (".jpg", ".jpeg", ".png", ".bmp", ".webp")
+
+
+def _list_images(root: str) -> List[str]:
+    out = []
+    for dirpath, _, files in os.walk(root):
+        for f in sorted(files):
+            if f.lower().endswith(_EXTS):
+                out.append(os.path.join(dirpath, f))
+    return out
+
+
+def _decode_resize_crop(path: str, size: int) -> np.ndarray:
+    from PIL import Image
+
+    with Image.open(path) as im:
+        im = im.convert("RGB")
+        w, h = im.size
+        scale = size / min(w, h)
+        im = im.resize((round(w * scale), round(h * scale)), Image.BILINEAR)
+        w, h = im.size
+        left, top = (w - size) // 2, (h - size) // 2
+        im = im.crop((left, top, left + size, top + size))
+        return np.asarray(im, np.uint8)
+
+
+def _synthetic_faces(n=512, size=64, seed=0) -> np.ndarray:
+    """Color-gradient ovals standing in for face crops."""
+    rng = np.random.default_rng(seed)
+    ys, xs = np.mgrid[0:size, 0:size].astype(np.float32)
+    imgs = np.zeros((n, size, size, 3), np.float32)
+    for i in range(n):
+        cx, cy = rng.uniform(size * 0.4, size * 0.6, 2)
+        rx, ry = rng.uniform(size * 0.2, size * 0.35, 2)
+        oval = np.exp(-(((xs - cx) / rx) ** 2 + ((ys - cy) / ry) ** 2))
+        base = rng.uniform(0.2, 0.9, 3)
+        grad = (ys / size)[..., None] * rng.uniform(-0.3, 0.3, 3)
+        imgs[i] = np.clip(base * oval[..., None] + grad + 0.3, 0, 1)
+    return (imgs * 255).astype(np.uint8)
+
+
+def load_image_folder(
+    root: str = "data",
+    img_size: int = 64,
+    max_images: Optional[int] = None,
+    flip: bool = True,
+    seed: int = 0,
+    allow_synthetic: bool = True,
+) -> np.ndarray:
+    """Returns (N, 64, 64, 3) float32 in [-1, 1] with random horizontal
+    flips applied (one static flip draw per image per load, matching the
+    reference's per-epoch flip in expectation)."""
+    paths = _list_images(root) if os.path.isdir(root) else []
+    if max_images:
+        paths = paths[:max_images]
+    if paths:
+        imgs = np.stack([_decode_resize_crop(p, img_size) for p in paths])
+    elif allow_synthetic:
+        imgs = _synthetic_faces(size=img_size, seed=seed)
+    else:
+        raise FileNotFoundError(root)
+    rng = np.random.default_rng(seed)
+    if flip:
+        mask = rng.random(imgs.shape[0]) < 0.5
+        imgs[mask] = imgs[mask, :, ::-1]
+    return ((imgs.astype(np.float32) / 255.0) - 0.5) / 0.5

@@ -1,0 +1,92 @@
+"""MNIST ingest: idx files resized to 32x32 and normalized to [-1, 1].
+
+Parity with the reference's torchvision pipeline
+(MNIST/EAD-GAN_rpqmnxy.py:234-246): Resize(32) bilinear, ToTensor,
+Normalize(0.5, 0.5).  Reads the standard idx(.gz) files from a data
+directory; synthesizes digit-like blobs when absent.
+"""
+
+from __future__ import annotations
+
+import gzip
+import os
+import struct
+from typing import Tuple
+
+import numpy as np
+
+__all__ = ["load_mnist"]
+
+_IMAGES = "train-images-idx3-ubyte"
+_LABELS = "train-labels-idx1-ubyte"
+
+
+def _open_maybe_gz(path):
+    if os.path.exists(path + ".gz"):
+        return gzip.open(path + ".gz", "rb")
+    return open(path, "rb")
+
+
+def _read_idx_images(path) -> np.ndarray:
+    with _open_maybe_gz(path) as f:
+        magic, n, rows, cols = struct.unpack(">IIII", f.read(16))
+        assert magic == 2051, f"bad idx magic {magic}"
+        return np.frombuffer(f.read(n * rows * cols), np.uint8).reshape(n, rows, cols)
+
+
+def _read_idx_labels(path) -> np.ndarray:
+    with _open_maybe_gz(path) as f:
+        magic, n = struct.unpack(">II", f.read(8))
+        assert magic == 2049, f"bad idx magic {magic}"
+        return np.frombuffer(f.read(n), np.uint8).astype(np.int32)
+
+
+def _resize_bilinear(imgs: np.ndarray, size: int) -> np.ndarray:
+    """Vectorized bilinear resize (align_corners=False convention, like
+    PIL/torchvision's default for the 28->32 upsample)."""
+    n, h, w = imgs.shape
+    ys = (np.arange(size) + 0.5) * h / size - 0.5
+    xs = (np.arange(size) + 0.5) * w / size - 0.5
+    y0 = np.clip(np.floor(ys), 0, h - 1).astype(np.int32)
+    x0 = np.clip(np.floor(xs), 0, w - 1).astype(np.int32)
+    y1 = np.clip(y0 + 1, 0, h - 1)
+    x1 = np.clip(x0 + 1, 0, w - 1)
+    wy = np.clip(ys - y0, 0.0, 1.0)[None, :, None]
+    wx = np.clip(xs - x0, 0.0, 1.0)[None, None, :]
+    f = imgs.astype(np.float32)
+    top = f[:, y0][:, :, x0] * (1 - wx) + f[:, y0][:, :, x1] * wx
+    bot = f[:, y1][:, :, x0] * (1 - wx) + f[:, y1][:, :, x1] * wx
+    return top * (1 - wy) + bot * wy
+
+
+def _synthetic_mnist(n=2048, seed=0) -> Tuple[np.ndarray, np.ndarray]:
+    """Digit-like strokes: one blob per class position pattern."""
+    rng = np.random.default_rng(seed)
+    labels = rng.integers(0, 10, n).astype(np.int32)
+    imgs = np.zeros((n, 28, 28), np.float32)
+    ys, xs = np.mgrid[0:28, 0:28].astype(np.float32)
+    for i, lab in enumerate(labels):
+        ang = 2 * np.pi * lab / 10
+        cx, cy = 14 + 6 * np.cos(ang), 14 + 6 * np.sin(ang)
+        blob = np.exp(-(((xs - cx) ** 2 + (ys - cy) ** 2) / (2 * 9.0)))
+        ring = np.exp(-((np.hypot(xs - 14, ys - 14) - (4 + lab * 0.7)) ** 2) / 4.0)
+        imgs[i] = np.clip(blob + 0.7 * ring + 0.05 * rng.normal(size=(28, 28)), 0, 1) * 255
+    return imgs.astype(np.uint8), labels
+
+
+def load_mnist(
+    data_dir: str = "data/mnist", img_size: int = 32, allow_synthetic: bool = True
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Returns (images (N, 32, 32, 1) float32 in [-1, 1], labels (N,))."""
+    img_path = os.path.join(data_dir, _IMAGES)
+    lab_path = os.path.join(data_dir, _LABELS)
+    if os.path.exists(img_path) or os.path.exists(img_path + ".gz"):
+        raw = _read_idx_images(img_path)
+        labels = _read_idx_labels(lab_path)
+    elif allow_synthetic:
+        raw, labels = _synthetic_mnist()
+    else:
+        raise FileNotFoundError(img_path)
+    resized = _resize_bilinear(raw, img_size) / 255.0
+    imgs = ((resized - 0.5) / 0.5).astype(np.float32)[..., None]
+    return imgs, labels
