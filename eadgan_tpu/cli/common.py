@@ -61,19 +61,42 @@ def run_epochs(
     max_steps: int = 0,
     logger: Optional[MetricLogger] = None,
     metric_keys: Optional[Iterable[str]] = None,
+    scale: float = 1.0,
+    shift: float = 0.0,
 ):
     """The reference's epoch/batch double loop with device prefetching.
 
     ``on_batch(batches_done, state, metrics, batch)`` handles sampling /
     checkpoint side effects; ``step_fn(state, *batch) -> (state, metrics)``.
+
+    uint8 ``data`` stays uint8 in host RAM; per-batch gather + float
+    conversion + ``* scale + shift`` normalization run fused in the
+    native batcher (eadgan_tpu/data/native.py) inside the prefetch
+    thread — the full-dataset float copy (12 GB for dSprites) is never
+    materialized.
     """
     host_rng = np.random.default_rng(seed)
     n_batches = data.shape[0] // batch_size
     start_step = int(jax.device_get(state.step))
     batches_done = start_step
+    use_native = data.dtype == np.uint8 and labels is None
+    if use_native:
+        from eadgan_tpu.data.native import gather_normalize
+
+        def place(idx):
+            return jax.device_put(gather_normalize(data, idx, scale, shift))
+
     for epoch in range(start_step // max(n_batches, 1), n_epochs):
-        batches = epoch_batches(data, batch_size, host_rng, labels=labels)
-        for batch in Prefetcher(batches):
+        if use_native:
+            perm = host_rng.permutation(data.shape[0])
+            end = data.shape[0] - (data.shape[0] % batch_size)
+            batches = (perm[s : s + batch_size] for s in range(0, end, batch_size))
+            iterator = Prefetcher(batches, place=place)
+        else:
+            iterator = Prefetcher(
+                epoch_batches(data, batch_size, host_rng, labels=labels)
+            )
+        for batch in iterator:
             if not isinstance(batch, tuple):
                 batch = (batch,)
             state, metrics = step_fn(state, *batch)

@@ -86,7 +86,7 @@ def main(argv=None, colored: bool = False) -> None:
         colored=colored,
     )
     data = load_dsprites(opt.data_dir)
-    images = data.images_nhwc
+    images = data.imgs  # uint8; per-batch native gather+normalize
 
     encoder = SpritesEncoderPxy(
         out_dim=config.code_dim, channels=3 if colored else 1

@@ -66,9 +66,10 @@ def load_image_folder(
     seed: int = 0,
     allow_synthetic: bool = True,
 ) -> np.ndarray:
-    """Returns (N, 64, 64, 3) float32 in [-1, 1] with random horizontal
-    flips applied (one static flip draw per image per load, matching the
-    reference's per-epoch flip in expectation)."""
+    """Returns (N, 64, 64, 3) uint8 with random horizontal flips applied
+    (one static flip draw per image per load, matching the reference's
+    per-epoch flip in expectation).  Normalization to [-1, 1] happens
+    per batch in the native gather path (scale=1/127.5, shift=-1)."""
     paths = _list_images(root) if os.path.isdir(root) else []
     if max_images:
         paths = paths[:max_images]
@@ -82,4 +83,4 @@ def load_image_folder(
     if flip:
         mask = rng.random(imgs.shape[0]) < 0.5
         imgs[mask] = imgs[mask, :, ::-1]
-    return ((imgs.astype(np.float32) / 255.0) - 0.5) / 0.5
+    return imgs  # uint8; normalize per batch (x / 127.5 - 1)
