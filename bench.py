@@ -36,9 +36,14 @@ def main() -> None:
     from eadgan_tpu.train.config import CelebaConfig
     from eadgan_tpu.train.gan_celeba import init_celeba_gan_state, make_celeba_gan_step
 
+    import jax.numpy as _jnp
+
+    dtype_name = os.environ.get("BENCH_DTYPE", "bfloat16")
+    compute_dtype = None if dtype_name == "float32" else getattr(_jnp, dtype_name)
+
     config = CelebaConfig(batch_size=BATCH)
-    generator = CelebaGenerator()
-    discriminator = CelebaDiscriminator()
+    generator = CelebaGenerator(dtype=compute_dtype)
+    discriminator = CelebaDiscriminator(dtype=compute_dtype)
     state = init_celeba_gan_state(
         generator, discriminator, config, jax.random.PRNGKey(0)
     )

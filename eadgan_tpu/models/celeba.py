@@ -12,6 +12,8 @@ from __future__ import annotations
 import flax.linen as nn
 import jax.numpy as jnp
 
+from typing import Any
+
 from eadgan_tpu.models.layers import SNConv, TorchBatchNorm, TorchConv, TorchConvTranspose
 
 __all__ = ["CelebaGenerator", "CelebaDiscriminator"]
@@ -26,19 +28,20 @@ class CelebaGenerator(nn.Module):
     n_classes: int = 10
     code_dim: int = 8
     channels: int = 3
+    dtype: Any = None  # bf16 for the MXU fast path; params stay f32
 
     @nn.compact
     def __call__(self, noise, labels, code, train: bool = True):
         del train
         x = jnp.concatenate([noise, labels, code], axis=-1)
         x = x[:, None, None, :]  # (B, 1, 1, in_dim) NHWC
-        x = TorchConvTranspose(1024, 4, 1, 0)(x)
+        x = TorchConvTranspose(1024, 4, 1, 0, dtype=self.dtype)(x)
         for feats in (512, 256, 128):
-            x = TorchConvTranspose(feats, 4, 2, 1)(x)
+            x = TorchConvTranspose(feats, 4, 2, 1, dtype=self.dtype)(x)
             x = TorchBatchNorm()(x)
             x = nn.relu(x)
-        x = TorchConvTranspose(self.channels, 4, 2, 1)(x)
-        return jnp.tanh(x)
+        x = TorchConvTranspose(self.channels, 4, 2, 1, dtype=self.dtype)(x)
+        return jnp.tanh(x).astype(jnp.float32)
 
 
 class CelebaDiscriminator(nn.Module):
@@ -51,15 +54,16 @@ class CelebaDiscriminator(nn.Module):
     n_classes: int = 10
     code_dim: int = 8
     channels: int = 3
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, img, train: bool = True):
         x = img
         for feats in (128, 256, 512, 1024):
-            x = SNConv(feats, 4, 2, 1)(x, update_stats=train)
+            x = SNConv(feats, 4, 2, 1, dtype=self.dtype)(x, update_stats=train)
             x = nn.leaky_relu(x, 0.1)
-        x = TorchConv(1 + self.n_classes + self.code_dim, 4, 1, 0)(x)
-        out = x.reshape(x.shape[0], -1)  # (B, 1+n_classes+code_dim)
+        x = TorchConv(1 + self.n_classes + self.code_dim, 4, 1, 0, dtype=self.dtype)(x)
+        out = x.reshape(x.shape[0], -1).astype(jnp.float32)
         validity = nn.sigmoid(out[:, 0])
         cont = out[:, 1 : self.code_dim + 1]
         cat = nn.softmax(

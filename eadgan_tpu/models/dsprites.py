@@ -7,6 +7,8 @@ Parity with dSprites/pxy.py:54-80 and dSprites/rp.py:61-194; setting
 
 from __future__ import annotations
 
+from typing import Any
+
 import flax.linen as nn
 import jax.numpy as jnp
 
@@ -53,20 +55,21 @@ class SpritesGenerator(nn.Module):
     noise vector (the reference's latent_dim flag is dead)."""
 
     channels: int = 1
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, z_c, train: bool = True):
         del train
-        x = nn.relu(TorchDense(128)(z_c))
-        x = nn.relu(TorchDense(64 * 4 * 4)(x))
+        x = nn.relu(TorchDense(128, dtype=self.dtype)(z_c))
+        x = nn.relu(TorchDense(64 * 4 * 4, dtype=self.dtype)(x))
         x = x.reshape(x.shape[0], 64, 4, 4)
         x = jnp.transpose(x, (0, 2, 3, 1))  # NCHW view parity -> NHWC
         for _ in range(3):
-            x = TorchConvTranspose(64, 4, 2, 1)(x)
+            x = TorchConvTranspose(64, 4, 2, 1, dtype=self.dtype)(x)
             x = TorchBatchNorm()(x)
             x = nn.relu(x)
-        x = TorchConvTranspose(self.channels, 4, 2, 1)(x)
-        return nn.sigmoid(x)
+        x = TorchConvTranspose(self.channels, 4, 2, 1, dtype=self.dtype)(x)
+        return nn.sigmoid(x).astype(jnp.float32)
 
 
 class SpritesDiscriminator(nn.Module):
@@ -74,17 +77,18 @@ class SpritesDiscriminator(nn.Module):
     (dSprites/rp.py:90-119)."""
 
     channels: int = 1
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, img, train: bool = True):
         x = img
         for feats in (32, 32, 64, 64):
-            x = SNConv(feats, 4, 2, 1)(x, update_stats=train)
+            x = SNConv(feats, 4, 2, 1, dtype=self.dtype)(x, update_stats=train)
             x = nn.leaky_relu(x, 0.2)
         x = x.reshape(x.shape[0], -1)
-        x = nn.leaky_relu(SNDense(128)(x, update_stats=train), 0.2)
-        x = TorchDense(1)(x)
-        return nn.sigmoid(x)
+        x = nn.leaky_relu(SNDense(128, dtype=self.dtype)(x, update_stats=train), 0.2)
+        x = TorchDense(1, dtype=self.dtype)(x)
+        return nn.sigmoid(x.astype(jnp.float32))
 
 
 class SpritesEncoder(nn.Module):
@@ -95,16 +99,18 @@ class SpritesEncoder(nn.Module):
     n_classes: int = 3
     code_dim: int = 4
     channels: int = 1
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, img, train: bool = True):
         x = img
         for feats in (32, 32, 64, 64):
-            x = SNConv(feats, 4, 2, 1)(x, update_stats=train)
+            x = SNConv(feats, 4, 2, 1, dtype=self.dtype)(x, update_stats=train)
             x = nn.leaky_relu(x, 0.2)
         x = x.reshape(x.shape[0], -1)
-        x = nn.leaky_relu(SNDense(128)(x, update_stats=train), 0.2)
-        x = nn.leaky_relu(SNDense(128)(x, update_stats=train), 0.2)
+        x = nn.leaky_relu(SNDense(128, dtype=self.dtype)(x, update_stats=train), 0.2)
+        x = nn.leaky_relu(SNDense(128, dtype=self.dtype)(x, update_stats=train), 0.2)
+        x = x.astype(jnp.float32)
         cat = nn.softmax(SNDense(self.n_classes)(x, update_stats=train), axis=-1)
         cont = SNDense(self.code_dim)(x, update_stats=train)
         return cat, cont

@@ -8,7 +8,7 @@ weight hook (N3) becomes functional power-iteration state carried in the
 
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Any, Sequence, Tuple
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -48,6 +48,7 @@ class TorchConv(nn.Module):
     strides: int = 1
     padding: int = 1
     use_normal_init: bool = False
+    dtype: Any = None  # compute dtype (bf16 for the MXU fast path)
 
     @nn.compact
     def __call__(self, x):
@@ -64,6 +65,7 @@ class TorchConv(nn.Module):
             padding=[_pair(self.padding), _pair(self.padding)],
             kernel_init=kernel_init,
             bias_init=torch_linear_bias_init(fan_in),
+            dtype=self.dtype,
         )(x)
 
 
@@ -82,6 +84,7 @@ class TorchConvTranspose(nn.Module):
     strides: int = 2
     padding: int = 1
     use_normal_init: bool = False
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x):
@@ -103,6 +106,7 @@ class TorchConvTranspose(nn.Module):
             padding=pads,
             kernel_init=kernel_init,
             bias_init=torch_linear_bias_init(fan_in),
+            dtype=self.dtype,
         )(x)
 
 
@@ -110,6 +114,7 @@ class TorchDense(nn.Module):
     """Linear with torch-default init."""
 
     features: int
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x):
@@ -117,6 +122,7 @@ class TorchDense(nn.Module):
             features=self.features,
             kernel_init=torch_linear_kernel_init(),
             bias_init=torch_linear_bias_init(x.shape[-1]),
+            dtype=self.dtype,
         )(x)
 
 
@@ -132,6 +138,7 @@ class SNConv(nn.Module):
     kernel_size: int = 3
     strides: int = 1
     padding: int = 1
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, update_stats: bool = True):
@@ -144,6 +151,7 @@ class SNConv(nn.Module):
             padding=[_pair(self.padding), _pair(self.padding)],
             kernel_init=torch_conv_kernel_init(),
             bias_init=torch_linear_bias_init(fan_in),
+            dtype=self.dtype,
         )
         return nn.SpectralNorm(conv)(x, update_stats=update_stats)
 
@@ -152,6 +160,7 @@ class SNDense(nn.Module):
     """Spectral-normalized linear (torch ``spectral_norm(nn.Linear(...))``)."""
 
     features: int
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, update_stats: bool = True):
@@ -159,6 +168,7 @@ class SNDense(nn.Module):
             features=self.features,
             kernel_init=torch_linear_kernel_init(),
             bias_init=torch_linear_bias_init(x.shape[-1]),
+            dtype=self.dtype,
         )
         return nn.SpectralNorm(dense)(x, update_stats=update_stats)
 
@@ -185,11 +195,16 @@ class TorchBatchNorm(nn.Module):
     @nn.compact
     def __call__(self, x):
         scale_init = normal_init(1.0, 0.02) if self.use_normal_init else nn.initializers.ones
-        return nn.BatchNorm(
+        # Batch statistics always in float32 — under the bf16 fast path
+        # the conv outputs arrive in bf16, but variance estimation at
+        # half precision destabilizes GAN training.
+        in_dtype = x.dtype
+        out = nn.BatchNorm(
             momentum=self.momentum,
             epsilon=self.eps,
             scale_init=scale_init,
-        )(x, use_running_average=False)
+        )(x.astype(jnp.float32), use_running_average=False)
+        return out.astype(in_dtype)
 
 
 def upsample_nearest(x: jnp.ndarray, factor: int = 2) -> jnp.ndarray:
