@@ -116,6 +116,7 @@ def main(argv=None) -> None:
         seed=opt.seed,
         max_steps=opt.max_steps,
         logger=logger,
+        data_parallel=opt.data_parallel,
         metric_keys=["d_loss", "g_loss"],
         scale=1.0 / 127.5,
         shift=-1.0,

@@ -46,6 +46,12 @@ def add_run_args(parser: argparse.ArgumentParser) -> None:
     parser.add_argument("--max_steps", type=int, default=0, help="stop after N batches (0 = full schedule)")
     parser.add_argument("--jsonl", type=str, default="", help="metrics JSONL path")
     parser.add_argument("--resume", type=str, default="", help="train-state checkpoint to resume from")
+    parser.add_argument(
+        "--data_parallel",
+        action="store_true",
+        help="shard batches over all local devices (params replicated; "
+        "XLA SPMD inserts the psum gradient reductions)",
+    )
 
 
 def run_epochs(
@@ -63,6 +69,7 @@ def run_epochs(
     metric_keys: Optional[Iterable[str]] = None,
     scale: float = 1.0,
     shift: float = 0.0,
+    data_parallel: bool = False,
 ):
     """The reference's epoch/batch double loop with device prefetching.
 
@@ -79,12 +86,21 @@ def run_epochs(
     n_batches = data.shape[0] // batch_size
     start_step = int(jax.device_get(state.step))
     batches_done = start_step
+
+    device_put = jax.device_put
+    if data_parallel:
+        from eadgan_tpu.parallel import default_mesh, replicate, shard_batch
+
+        mesh = default_mesh()
+        state = replicate(mesh, state)
+        device_put = lambda b: shard_batch(mesh, b)  # noqa: E731
+
     use_native = data.dtype == np.uint8 and labels is None
     if use_native:
         from eadgan_tpu.data.native import gather_normalize
 
         def place(idx):
-            return jax.device_put(gather_normalize(data, idx, scale, shift))
+            return device_put(gather_normalize(data, idx, scale, shift))
 
     for epoch in range(start_step // max(n_batches, 1), n_epochs):
         if use_native:
@@ -94,7 +110,8 @@ def run_epochs(
             iterator = Prefetcher(batches, place=place)
         else:
             iterator = Prefetcher(
-                epoch_batches(data, batch_size, host_rng, labels=labels)
+                epoch_batches(data, batch_size, host_rng, labels=labels),
+                place=device_put,
             )
         for batch in iterator:
             if not isinstance(batch, tuple):

@@ -120,6 +120,7 @@ def main(argv=None) -> None:
         seed=opt.seed,
         max_steps=opt.max_steps,
         logger=logger,
+        data_parallel=opt.data_parallel,
     )
 
 

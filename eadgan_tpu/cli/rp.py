@@ -168,6 +168,7 @@ def main(argv=None, colored: bool = False) -> None:
         seed=opt.seed,
         max_steps=opt.max_steps,
         logger=logger,
+        data_parallel=opt.data_parallel,
     )
 
 
