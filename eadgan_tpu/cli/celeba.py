@@ -117,6 +117,7 @@ def main(argv=None) -> None:
         max_steps=opt.max_steps,
         logger=logger,
         data_parallel=opt.data_parallel,
+        profile_dir=opt.profile_dir,
         metric_keys=["d_loss", "g_loss"],
         scale=1.0 / 127.5,
         shift=-1.0,

@@ -46,6 +46,7 @@ def add_run_args(parser: argparse.ArgumentParser) -> None:
     parser.add_argument("--max_steps", type=int, default=0, help="stop after N batches (0 = full schedule)")
     parser.add_argument("--jsonl", type=str, default="", help="metrics JSONL path")
     parser.add_argument("--resume", type=str, default="", help="train-state checkpoint to resume from")
+    parser.add_argument("--profile_dir", type=str, default="", help="write a jax.profiler trace of the run here")
     parser.add_argument(
         "--data_parallel",
         action="store_true",
@@ -70,6 +71,7 @@ def run_epochs(
     scale: float = 1.0,
     shift: float = 0.0,
     data_parallel: bool = False,
+    profile_dir: str = "",
 ):
     """The reference's epoch/batch double loop with device prefetching.
 
@@ -82,6 +84,21 @@ def run_epochs(
     thread — the full-dataset float copy (12 GB for dSprites) is never
     materialized.
     """
+    from eadgan_tpu.utils import trace
+
+    with trace(profile_dir or None):
+        return _run_epochs_inner(
+            n_epochs=n_epochs, data=data, labels=labels, batch_size=batch_size,
+            state=state, step_fn=step_fn, on_batch=on_batch, seed=seed,
+            max_steps=max_steps, logger=logger, metric_keys=metric_keys,
+            scale=scale, shift=shift, data_parallel=data_parallel,
+        )
+
+
+def _run_epochs_inner(
+    *, n_epochs, data, labels, batch_size, state, step_fn, on_batch,
+    seed, max_steps, logger, metric_keys, scale, shift, data_parallel,
+):
     host_rng = np.random.default_rng(seed)
     n_batches = data.shape[0] // batch_size
     start_step = int(jax.device_get(state.step))

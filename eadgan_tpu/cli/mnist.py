@@ -121,6 +121,7 @@ def main(argv=None) -> None:
         max_steps=opt.max_steps,
         logger=logger,
         data_parallel=opt.data_parallel,
+        profile_dir=opt.profile_dir,
     )
 
 

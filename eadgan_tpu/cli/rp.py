@@ -169,6 +169,7 @@ def main(argv=None, colored: bool = False) -> None:
         max_steps=opt.max_steps,
         logger=logger,
         data_parallel=opt.data_parallel,
+        profile_dir=opt.profile_dir,
     )
 
 
