@@ -11,10 +11,25 @@ collectives, per the standard scaling-book recipe.
 """
 
 from eadgan_tpu.parallel.mesh import (
+    batch_spec,
     default_mesh,
     replicate,
     shard_batch,
     shard_model_params,
 )
+from eadgan_tpu.parallel.multihost import (
+    global_batch_from_host,
+    host_batch_slice,
+    initialize,
+)
 
-__all__ = ["default_mesh", "shard_batch", "replicate", "shard_model_params"]
+__all__ = [
+    "default_mesh",
+    "batch_spec",
+    "shard_batch",
+    "replicate",
+    "shard_model_params",
+    "initialize",
+    "host_batch_slice",
+    "global_batch_from_host",
+]

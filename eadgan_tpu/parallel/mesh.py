@@ -21,7 +21,20 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-__all__ = ["default_mesh", "shard_batch", "replicate", "shard_model_params"]
+__all__ = [
+    "default_mesh",
+    "batch_spec",
+    "shard_batch",
+    "replicate",
+    "shard_model_params",
+]
+
+
+def batch_spec(ndim: int) -> P:
+    """PartitionSpec for a batch-leading array: leading dim sharded over
+    ``data``, everything else replicated.  Single source of truth for
+    both single-host placement and multi-host assembly."""
+    return P("data", *([None] * (ndim - 1)))
 
 
 def default_mesh(
@@ -47,8 +60,7 @@ def shard_batch(mesh: Mesh, batch):
     """Place array(s) with the leading (batch) dim sharded over ``data``."""
 
     def place(x):
-        spec = P("data", *([None] * (x.ndim - 1)))
-        return jax.device_put(x, NamedSharding(mesh, spec))
+        return jax.device_put(x, NamedSharding(mesh, batch_spec(x.ndim)))
 
     return jax.tree.map(place, batch)
 

@@ -1,0 +1,98 @@
+"""Multi-host scaling over DCN (SURVEY.md 2.3 north star).
+
+On a multi-host TPU slice the recipe is unchanged from single-host —
+the mesh simply spans all hosts' devices and XLA routes the data-axis
+collectives over ICI within a slice and DCN across slices.  What
+changes is process bootstrap and data feeding:
+
+* every process calls :func:`initialize` before first jax use (a no-op
+  outside a cluster);
+* each host loads/feeds only its shard of the global batch
+  (:func:`host_batch_slice`), and the per-host arrays are assembled
+  into one global sharded array with
+  ``jax.make_array_from_process_local_data``.
+
+The single-process contract is covered by tests/test_parallel.py; real
+multi-host runs only need the cluster environment jax's auto-detection
+already understands, or explicit coordinator args.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh
+
+from eadgan_tpu.parallel.mesh import batch_spec
+from jax.sharding import NamedSharding
+
+__all__ = ["initialize", "host_batch_slice", "global_batch_from_host"]
+
+# Environment markers jax's cluster auto-detection understands; if none
+# are present and no coordinator is given, there is no cluster to join.
+_CLUSTER_ENV_VARS = (
+    "JAX_COORDINATOR_ADDRESS",
+    "COORDINATOR_ADDRESS",
+    "MEGASCALE_COORDINATOR_ADDRESS",
+    "SLURM_JOB_ID",
+    "OMPI_COMM_WORLD_SIZE",
+)
+
+
+def initialize(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> None:
+    """``jax.distributed.initialize`` wrapper that is a true no-op when
+    there is no cluster: no coordinator argument, no cluster environment,
+    or an explicit ``num_processes <= 1``."""
+    if num_processes is not None and num_processes <= 1:
+        return
+    if coordinator_address is None and not any(
+        os.environ.get(v) for v in _CLUSTER_ENV_VARS
+    ):
+        return
+    kwargs = {}
+    if coordinator_address is not None:
+        kwargs["coordinator_address"] = coordinator_address
+    if num_processes is not None:
+        kwargs["num_processes"] = num_processes
+    if process_id is not None:
+        kwargs["process_id"] = process_id
+    jax.distributed.initialize(**kwargs)
+
+
+def host_batch_slice(global_batch: int) -> slice:
+    """The half-open index range of the global batch this host feeds.
+
+    Raises when the global batch does not divide evenly over processes —
+    silent truncation would train at a smaller batch than configured.
+    """
+    n = jax.process_count()
+    if global_batch % n != 0:
+        raise ValueError(
+            f"global batch {global_batch} not divisible by process count {n}"
+        )
+    per_host = global_batch // n
+    start = jax.process_index() * per_host
+    return slice(start, start + per_host)
+
+
+def global_batch_from_host(mesh: Mesh, host_local: np.ndarray):
+    """Assemble one global data-sharded array from each host's local
+    shard.
+
+    Note: jax places each process's local data at the global indices its
+    addressable devices span under the sharding; with the standard
+    process-contiguous device order that matches
+    :func:`host_batch_slice`.  For i.i.d. training batches any
+    process-to-index permutation is harmless; when exact global ordering
+    matters, derive the slice from
+    ``sharding.addressable_devices_indices_map`` instead.
+    """
+    sharding = NamedSharding(mesh, batch_spec(host_local.ndim))
+    return jax.make_array_from_process_local_data(sharding, host_local)

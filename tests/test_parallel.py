@@ -96,3 +96,36 @@ def test_celeba_step_2d_mesh(rng):
     # at least one kernel actually ended up model-sharded
     shardings = [x.sharding for x in jax.tree.leaves(state.g.params)]
     assert any(not s.is_fully_replicated for s in shardings)
+
+
+def test_multihost_single_process_contract(rng, monkeypatch):
+    """initialize() must be a no-op outside a cluster; host slice covers
+    the full batch for one process; global assembly is data-sharded."""
+    from eadgan_tpu.parallel import (
+        default_mesh,
+        global_batch_from_host,
+        host_batch_slice,
+        initialize,
+    )
+
+    initialize()  # no cluster env -> must not raise
+    initialize(num_processes=1)
+
+    sl = host_batch_slice(16)
+    assert (sl.start, sl.stop) == (0, 16)
+
+    # simulate an 8-process job to exercise slicing + the divisibility guard
+    monkeypatch.setattr(jax, "process_count", lambda: 8)
+    monkeypatch.setattr(jax, "process_index", lambda: 3)
+    sl = host_batch_slice(16)
+    assert (sl.start, sl.stop) == (6, 8)
+    with pytest.raises(ValueError, match="not divisible"):
+        host_batch_slice(17)
+    monkeypatch.undo()
+
+    mesh = default_mesh()
+    local = rng.uniform(0, 1, (16, 4)).astype(np.float32)
+    g = global_batch_from_host(mesh, local)
+    assert g.shape == (16, 4)
+    assert not g.sharding.is_fully_replicated
+    np.testing.assert_allclose(np.asarray(g), local)
