@@ -31,8 +31,8 @@ from eadgan_tpu.sample.figures import sprites_training_grids
 from eadgan_tpu.train.checkpoint import restore_pytree, save_model, save_pytree
 from eadgan_tpu.train.config import SpritesGanConfig
 from eadgan_tpu.train.gan_dsprites import (
-    _distort,
     align_images,
+    distort_images,
     init_sprites_gan_state,
     make_sprites_gan_step,
 )
@@ -129,7 +129,7 @@ def main(argv=None, colored: bool = False) -> None:
         code = jax.random.uniform(
             krng, (img.shape[0], config.code_dim), minval=-1.0, maxval=1.0
         )
-        trans = _distort(align, code, config)
+        trans = distort_images(align, code, config)
         return align, trans
 
     save_every = config.sample_interval * (50 if colored else 500)

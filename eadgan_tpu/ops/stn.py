@@ -21,6 +21,7 @@ lowers to efficient dynamic-gathers; the grid construction itself is a
 from __future__ import annotations
 
 import functools
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -116,7 +117,7 @@ def warp_affine(
     img: jnp.ndarray,
     matrix: jnp.ndarray,
     padding_mode: str = "border",
-    impl: str = None,
+    impl: Optional[str] = None,
 ) -> jnp.ndarray:
     """Warp an NHWC batch by 3x3 (or 2x3) affine matrices.
 
@@ -140,4 +141,6 @@ def warp_affine(
     theta = matrix[:, :2, :] if matrix.shape[-2] == 3 else matrix
     coords = affine_grid(theta, h, w)
     out = grid_sample(img, coords, padding_mode=padding_mode)
-    return out.reshape(n, h, w, c)
+    # keep the input dtype (the weight math promotes to f32; the pallas
+    # path preserves dtype, keep both implementations consistent)
+    return out.reshape(n, h, w, c).astype(img.dtype)

@@ -50,6 +50,14 @@ class PxyConfig:
     colored: bool = False
     rgb_factor: float = 0.1  # colored_dSprites/utils_pxy.py:50
 
+    def __post_init__(self):
+        expected = 6 if self.colored else 3
+        if self.code_dim != expected:
+            raise ValueError(
+                f"pxy code_dim must be {expected} for colored={self.colored}, "
+                f"got {self.code_dim}"
+            )
+
 
 @dataclasses.dataclass(frozen=True)
 class SpritesGanConfig:
@@ -73,6 +81,20 @@ class SpritesGanConfig:
     colored: bool = False
     rgb_factor: float = 0.5  # GAN-stage color factor (utils_rp_color.py:40)
     align_rgb_factor: float = 0.1  # align-stage factor (utils_pxy.py:50)
+
+    def __post_init__(self):
+        expected = 7 if self.colored else 4
+        if self.code_dim != expected:
+            raise ValueError(
+                f"sprites GAN code_dim must be {expected} for "
+                f"colored={self.colored}, got {self.code_dim}"
+            )
+        expected_ch = 3 if self.colored else 1
+        if self.channels != expected_ch:
+            raise ValueError(
+                f"channels must be {expected_ch} for colored={self.colored}, "
+                f"got {self.channels}"
+            )
 
 
 @dataclasses.dataclass(frozen=True)

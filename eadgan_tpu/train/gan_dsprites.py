@@ -42,7 +42,12 @@ from eadgan_tpu.transforms import (
     remove_color,
 )
 
-__all__ = ["init_sprites_gan_state", "make_sprites_gan_step", "align_images"]
+__all__ = [
+    "init_sprites_gan_state",
+    "make_sprites_gan_step",
+    "align_images",
+    "distort_images",
+]
 
 
 def init_sprites_gan_state(
@@ -60,9 +65,11 @@ def init_sprites_gan_state(
     e = ModelVars.create(encoder.init(ke, dummy_img))
     pxy = ModelVars.create(pxy_vars)
 
-    tx_g = adam(config.lr, config.b1, config.b2)
     tx_d = adam(config.d_lr, config.b1, config.b2)
     tx_info = adam(config.lr, config.b1, config.b2)
+    # No separate G optimizer: the reference's optimizer_G exists but is
+    # never stepped in this pipeline (dSprites/rp.py:276 vs the loop) —
+    # G's adversarial update lives inside opt_info.
     return GanTrainState(
         step=jnp.zeros((), jnp.int32),
         rng=rng,
@@ -70,7 +77,7 @@ def init_sprites_gan_state(
         d=d,
         e=e,
         pxy=pxy,
-        opt_g=tx_g.init(g.params),
+        opt_g=None,
         opt_d=tx_d.init(d.params),
         opt_info=tx_info.init({"g": g.params, "e": e.params}),
     )
@@ -88,7 +95,7 @@ def align_images(pxy_encoder, pxy: ModelVars, img: jnp.ndarray, config: SpritesG
     return align_img
 
 
-def _distort(align_img, code, config: SpritesGanConfig):
+def distort_images(align_img, code, config: SpritesGanConfig):
     """Distort aligned reals by a sampled code (affine + optional color),
     dSprites/rp.py:399-400 / colored_dSprites/rp_color.py:416-424."""
     matrix = code_to_matrix(RP, code[:, :4])
@@ -126,7 +133,7 @@ def make_sprites_gan_step(
 
         # --- B. D phase ----------------------------------------------------
         code_d, onehot_d = sample_inputs(rng_d, batch)
-        trans_img = _distort(align_img, code_d, config)
+        trans_img = distort_images(align_img, code_d, config)
         z_c = jnp.concatenate([onehot_d, code_d], axis=-1)
         gen_imgs, g_stats = apply_model(generator, state.g, z_c)
 
@@ -151,7 +158,7 @@ def make_sprites_gan_step(
         # --- C. info phase (one backward through G and E) ------------------
         code_i, onehot_i = sample_inputs(rng_info, batch)
         z_c_i = jnp.concatenate([onehot_i, code_i], axis=-1)
-        trans_img_i = _distort(align_img, code_i, config)
+        trans_img_i = distort_images(align_img, code_i, config)
 
         def info_loss_fn(params):
             gv = ModelVars(params=params["g"], stats=g_stats)

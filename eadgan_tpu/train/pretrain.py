@@ -21,6 +21,7 @@ from eadgan_tpu.losses import mse_loss
 from eadgan_tpu.ops import warp_affine
 from eadgan_tpu.train.config import ApproximatorConfig, PxyConfig
 from eadgan_tpu.train.state import EncoderTrainState, ModelVars, adam, apply_model
+from eadgan_tpu.transforms.neural import flatten_matrix_2x3
 from eadgan_tpu.transforms import (
     PXY,
     RPQMNXY,
@@ -61,7 +62,7 @@ def make_approximator_step(model, config: ApproximatorConfig):
         )
         target = code_to_params(RPQMNXY, code)
         matrix = code_to_matrix(RPQMNXY, code)
-        flat = jnp.concatenate([matrix[:, 0, :], matrix[:, 1, :]], axis=-1)
+        flat = flatten_matrix_2x3(matrix)
 
         def loss_fn(params):
             pred, _ = apply_model(model, state.model.replace(params=params), flat)

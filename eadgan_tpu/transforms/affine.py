@@ -197,16 +197,9 @@ def build_affine_matrix(
 
 
 def _params_to_components(family: AffineFamily, params: jnp.ndarray):
-    cols = iter(range(params.shape[-1]))
-    zero = jnp.zeros_like(params[..., 0])
-    theta = params[..., next(cols)] if family.has_rotation else zero
-    p = params[..., next(cols)]
-    q = params[..., next(cols)] if family.anisotropic else p
-    m = params[..., next(cols)] if family.has_skew else zero
-    n = params[..., next(cols)] if family.has_skew else zero
-    x = params[..., next(cols)]
-    y = params[..., next(cols)]
-    return theta, p, q, m, n, x, y
+    """Params share the code's column layout with zero default angle
+    (theta in radians rather than code units) — reuse the splitter."""
+    return _split_code(family, params)
 
 
 def code_to_matrix(family: AffineFamily, code: jnp.ndarray) -> jnp.ndarray:
