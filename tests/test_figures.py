@@ -1,0 +1,52 @@
+"""Smoke tests for the sample-figure generators (artifact layout)."""
+
+import os
+
+import numpy as np
+
+from eadgan_tpu.sample.figures import (
+    celeba_inference_grids,
+    celeba_training_grids,
+    mnist_inference_grids,
+    mnist_training_grids,
+    pxy_grids,
+    sprites_training_grids,
+)
+
+
+def _fake_g(shape):
+    def apply(*inputs):
+        n = inputs[0].shape[0]
+        return np.zeros((n,) + shape, np.float32)
+
+    return apply
+
+
+def test_mnist_grids(tmp_path, rng):
+    out = str(tmp_path)
+    real = rng.uniform(-1, 1, (100, 32, 32, 1)).astype(np.float32)
+    mnist_training_grids(_fake_g((32, 32, 1)), real, real, out, 0)
+    for sub in ["static", "original", "scaled"] + [f"varying_c{i}" for i in range(1, 8)]:
+        assert os.path.exists(os.path.join(out, sub, "0.png")), sub
+    mnist_inference_grids(_fake_g((32, 32, 1)), out + "/inf")
+    assert os.path.exists(os.path.join(out, "inf", "varying_c7", "0.png"))
+
+
+def test_sprites_grids(tmp_path, rng):
+    out = str(tmp_path)
+    img = rng.uniform(0, 1, (100, 64, 64, 1)).astype(np.float32)
+    sprites_training_grids(_fake_g((64, 64, 1)), img, img, out, 0, code_dim=4)
+    for i in range(1, 8):
+        assert os.path.exists(os.path.join(out, f"varying_c{i}", "0.png"))
+    pxy_grids(img, img, out + "/pxy", 0)
+    assert os.path.exists(os.path.join(out, "pxy", "align", "0.png"))
+
+
+def test_celeba_grids(tmp_path, rng):
+    out = str(tmp_path)
+    real = rng.uniform(-1, 1, (100, 64, 64, 3)).astype(np.float32)
+    celeba_training_grids(_fake_g((64, 64, 3)), real, real, out, 0)
+    for i in range(1, 9):
+        assert os.path.exists(os.path.join(out, f"varying_c{i}", "0.png"))
+    celeba_inference_grids(_fake_g((64, 64, 3)), out + "/inf")
+    assert os.path.exists(os.path.join(out, "inf", "varying_c8", "0.png"))

@@ -57,3 +57,23 @@ def test_pallas_gradients_match_xla(rng):
     )(img, code)
     for a, b in zip(g_ref, g_pal):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
+
+
+def test_pallas_non_square_images(rng):
+    """H != W exercises the row-block/lane layout independently."""
+    img = jnp.asarray(rng.uniform(0, 1, (2, 32, 64, 3)).astype(np.float32))
+    code = jnp.asarray(rng.uniform(-1, 1, (2, 4)).astype(np.float32))
+    mat = code_to_matrix(RP, code)
+    for pad in ("border", "zeros"):
+        ref = warp_affine(img, mat, padding_mode=pad, impl="xla")
+        got = warp_affine_pallas(img, mat, pad)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+
+
+def test_pallas_odd_height_uses_unit_blocks(rng):
+    img = jnp.asarray(rng.uniform(0, 1, (2, 17, 16, 1)).astype(np.float32))
+    code = jnp.asarray(rng.uniform(-1, 1, (2, 4)).astype(np.float32))
+    mat = code_to_matrix(RP, code)
+    ref = warp_affine(img, mat, impl="xla")
+    got = warp_affine_pallas(img, mat, "border")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
