@@ -133,9 +133,12 @@ def warp_affine(
     if impl is None:
         impl = "pallas" if jax.default_backend() == "tpu" else "xla"
     if impl == "pallas":
+        import os
+
         from eadgan_tpu.ops.stn_pallas import warp_affine_pallas
 
-        return warp_affine_pallas(img, matrix, padding_mode)
+        precision = os.environ.get("EADGAN_WARP_PRECISION", "highest")
+        return warp_affine_pallas(img, matrix, padding_mode, precision)
 
     n, h, w, c = img.shape
     theta = matrix[:, :2, :] if matrix.shape[-2] == 3 else matrix

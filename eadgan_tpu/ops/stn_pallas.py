@@ -40,7 +40,10 @@ from eadgan_tpu.ops import stn as _stn
 __all__ = ["warp_affine_pallas"]
 
 
-def _kernel(matrix_ref, img_ref, out_ref, *, block_i: int, padding_mode: str, c: int):
+def _kernel(
+    matrix_ref, img_ref, out_ref, *, block_i: int, padding_mode: str, c: int,
+    precision: str,
+):
     # img block: (1, H, C*W) channel-major lanes; out block: (1, BI*W, C)
     _, h, cw = img_ref.shape
     w = cw // c
@@ -94,11 +97,17 @@ def _kernel(matrix_ref, img_ref, out_ref, *, block_i: int, padding_mode: str, c:
         rx = jnp.where(iota_x == x0i, 1.0 - wx, 0.0) + jnp.where(iota_x == x1i, wx, 0.0)
         ry = jnp.where(iota_y == y0i, 1.0 - wy, 0.0) + jnp.where(iota_y == y1i, wy, 0.0)
 
-    # MXU contraction over y: (KW, H) @ (H, C*W) -> (KW, C*W)
+    # MXU contraction over y: (KW, H) @ (H, C*W) -> (KW, C*W).
+    # HIGHEST reproduces the golden torch output to ~1e-5 (2x dot cost);
+    # 'fast' uses the default bf16 passes (~6e-3 pixel error, ~2x faster
+    # kernel) for throughput-first training.
+    dot_precision = (
+        jax.lax.Precision.HIGHEST if precision == "highest" else
+        jax.lax.Precision.DEFAULT
+    )
     img_block = img_ref[0].astype(f32)
     tmp = jnp.dot(
-        ry, img_block, precision=jax.lax.Precision.HIGHEST,
-        preferred_element_type=f32,
+        ry, img_block, precision=dot_precision, preferred_element_type=f32,
     )
 
     # Broadcast Rx across channels (channel-major lanes: index c*W + x).
@@ -111,20 +120,23 @@ def _kernel(matrix_ref, img_ref, out_ref, *, block_i: int, padding_mode: str, c:
     sel_col = jax.lax.broadcasted_iota(jnp.int32, (cw, c), 1)
     sel = (sel_row == sel_col).astype(f32)
     out = jnp.dot(
-        prod, sel, precision=jax.lax.Precision.HIGHEST, preferred_element_type=f32
+        prod, sel, precision=dot_precision, preferred_element_type=f32
     )
 
     out_ref[0] = out.astype(out_ref.dtype)
 
 
-def _forward(img: jnp.ndarray, matrix: jnp.ndarray, padding_mode: str) -> jnp.ndarray:
+def _forward(
+    img: jnp.ndarray, matrix: jnp.ndarray, padding_mode: str, precision: str
+) -> jnp.ndarray:
     n, h, w, c = img.shape
     theta = (matrix[:, :2, :] if matrix.shape[-2] == 3 else matrix).astype(jnp.float32)
     block_i = 8 if h % 8 == 0 else 1
     # channel-major lane layout (H, C*W), arranged outside the kernel
     img_cm = jnp.transpose(img, (0, 1, 3, 2)).reshape(n, h, c * w)
     kernel = functools.partial(
-        _kernel, block_i=block_i, padding_mode=padding_mode, c=c
+        _kernel, block_i=block_i, padding_mode=padding_mode, c=c,
+        precision=precision,
     )
     out = pl.pallas_call(
         kernel,
@@ -144,19 +156,22 @@ def _forward(img: jnp.ndarray, matrix: jnp.ndarray, padding_mode: str) -> jnp.nd
     return out.reshape(n, h, w, c)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
 def warp_affine_pallas(
-    img: jnp.ndarray, matrix: jnp.ndarray, padding_mode: str = "border"
+    img: jnp.ndarray,
+    matrix: jnp.ndarray,
+    padding_mode: str = "border",
+    precision: str = "highest",
 ) -> jnp.ndarray:
     """Drop-in MXU replacement for :func:`eadgan_tpu.ops.warp_affine`."""
-    return _forward(img, matrix, padding_mode)
+    return _forward(img, matrix, padding_mode, precision)
 
 
-def _fwd(img, matrix, padding_mode):
-    return _forward(img, matrix, padding_mode), (img, matrix)
+def _fwd(img, matrix, padding_mode, precision):
+    return _forward(img, matrix, padding_mode, precision), (img, matrix)
 
 
-def _bwd(padding_mode, residuals, g):
+def _bwd(padding_mode, precision, residuals, g):
     img, matrix = residuals
     # Correct-by-construction backward: autodiff of the reference jnp
     # implementation (never on a hot path — see module docstring).
