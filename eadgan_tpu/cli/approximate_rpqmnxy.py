@@ -45,6 +45,9 @@ def main(argv=None) -> None:
         logger.log(iteration, metrics)
         if iteration % 20000 == 0:
             save_model(path, state.model)
+    # always persist the final weights (custom --iterations may never
+    # hit the 20000-step cadence after training has progressed)
+    save_model(path, state.model)
     print(f"saved {path}")
 
 

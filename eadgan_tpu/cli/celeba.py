@@ -46,6 +46,8 @@ def main(argv=None) -> None:
     config = CelebaConfig(
         n_epochs=opt.n_epochs,
         batch_size=opt.batch_size,
+        b1=opt.b1,
+        b2=opt.b2,
         latent_dim=opt.latent_dim,
         code_dim=opt.code_dim,
         n_classes=opt.n_classes,
@@ -60,8 +62,14 @@ def main(argv=None) -> None:
         seed=opt.seed,
     )
 
-    generator = CelebaGenerator()
-    discriminator = CelebaDiscriminator()
+    generator = CelebaGenerator(
+        latent_dim=config.latent_dim, n_classes=config.n_classes,
+        code_dim=config.code_dim, channels=config.channels,
+    )
+    discriminator = CelebaDiscriminator(
+        n_classes=config.n_classes, code_dim=config.code_dim,
+        channels=config.channels,
+    )
     state = init_celeba_gan_state(
         generator, discriminator, config, jax.random.PRNGKey(opt.seed)
     )
@@ -84,7 +92,11 @@ def main(argv=None) -> None:
         if batches_done % config.sample_interval == 0:
             real = batch[0][:100]
             scaled = warp_batch(real, jax.random.PRNGKey(batches_done))
-            celeba_training_grids(apply_g, real, scaled, opt.out_dir, batches_done)
+            celeba_training_grids(
+                apply_g, real, scaled, opt.out_dir, batches_done,
+                latent_dim=config.latent_dim, n_classes=config.n_classes,
+                code_dim=config.code_dim,
+            )
         if batches_done % (config.sample_interval * 15) == 0:
             n_batches = max(images.shape[0] // config.batch_size, 1)
             save_pytree(

@@ -130,26 +130,29 @@ def _run_epochs_inner(
                 epoch_batches(data, batch_size, host_rng, labels=labels),
                 place=device_put,
             )
-        for batch in iterator:
-            if not isinstance(batch, tuple):
-                batch = (batch,)
-            state, metrics = step_fn(state, *batch)
-            if logger is not None:
-                shown = (
-                    {k: metrics[k] for k in metric_keys} if metric_keys else metrics
-                )
-                logger.log(
-                    batches_done,
-                    shown,
-                    epoch=epoch,
-                    n_epochs=n_epochs,
-                    batch=batches_done % n_batches,
-                    n_batches=n_batches,
-                )
-            on_batch(batches_done, state, metrics, batch)
-            batches_done += 1
-            if max_steps and batches_done - start_step >= max_steps:
-                return state
+        try:
+            for batch in iterator:
+                if not isinstance(batch, tuple):
+                    batch = (batch,)
+                state, metrics = step_fn(state, *batch)
+                if logger is not None:
+                    shown = (
+                        {k: metrics[k] for k in metric_keys} if metric_keys else metrics
+                    )
+                    logger.log(
+                        batches_done,
+                        shown,
+                        epoch=epoch,
+                        n_epochs=n_epochs,
+                        batch=batches_done % n_batches,
+                        n_batches=n_batches,
+                    )
+                on_batch(batches_done, state, metrics, batch)
+                batches_done += 1
+                if max_steps and batches_done - start_step >= max_steps:
+                    return state
+        finally:
+            iterator.close()
     return state
 
 

@@ -14,6 +14,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from eadgan_tpu.cli import common  # noqa: F401  (EADGAN_PLATFORM hook)
+
 from eadgan_tpu.models import CelebaGenerator
 from eadgan_tpu.sample.figures import celeba_inference_grids
 from eadgan_tpu.train.checkpoint import restore_pytree

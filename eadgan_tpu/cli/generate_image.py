@@ -15,6 +15,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from eadgan_tpu.cli import common  # noqa: F401  (EADGAN_PLATFORM hook)
+
 from eadgan_tpu.models import MnistGenerator
 from eadgan_tpu.sample.figures import mnist_inference_grids
 from eadgan_tpu.train.checkpoint import restore_model

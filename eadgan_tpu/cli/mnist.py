@@ -55,6 +55,8 @@ def main(argv=None) -> None:
         n_epochs=opt.n_epochs,
         batch_size=opt.batch_size,
         lr=opt.lr,
+        b1=opt.b1,
+        b2=opt.b2,
         latent_dim=opt.latent_dim,
         code_dim=opt.code_dim,
         n_classes=opt.n_classes,
@@ -64,9 +66,19 @@ def main(argv=None) -> None:
     )
     images, labels = load_mnist(os.path.join(opt.data_dir, "data/mnist"), config.img_size)
 
-    generator = MnistGenerator()
-    discriminator = MnistDiscriminator()
-    encoder = MnistEncoder()
+    generator = MnistGenerator(
+        latent_dim=config.latent_dim, n_classes=config.n_classes,
+        code_dim=config.code_dim, img_size=config.img_size,
+        channels=config.channels,
+    )
+    discriminator = MnistDiscriminator(
+        img_size=config.img_size, channels=config.channels
+    )
+    encoder = MnistEncoder(
+        latent_dim=config.latent_dim, n_classes=config.n_classes,
+        code_dim=config.code_dim, img_size=config.img_size,
+        channels=config.channels,
+    )
     approximator = AffineApproximator()
 
     approx_path = opt.approximator or os.path.join(opt.ckpt_dir, "rpqmnxy_approximator.pt")
@@ -101,7 +113,11 @@ def main(argv=None) -> None:
         if batches_done % config.sample_interval == 0:
             real = batch[0][:100]
             scaled = warp_batch(real, jax.random.PRNGKey(batches_done))
-            mnist_training_grids(apply_g, real, scaled, opt.out_dir, batches_done)
+            mnist_training_grids(
+                apply_g, real, scaled, opt.out_dir, batches_done,
+                latent_dim=config.latent_dim, n_classes=config.n_classes,
+                code_dim=config.code_dim,
+            )
         if batches_done % (config.sample_interval * 10) == 0:
             save_model(os.path.join(opt.ckpt_dir, f"generator_{batches_done}.pt"), state.g)
             save_model(os.path.join(opt.ckpt_dir, f"encoder_{batches_done}.pt"), state.e)

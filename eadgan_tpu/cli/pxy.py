@@ -14,8 +14,6 @@ import argparse
 import os
 
 import jax
-import jax.numpy as jnp
-import numpy as np
 
 from eadgan_tpu.cli.common import add_adam_args, add_run_args, run_epochs
 from eadgan_tpu.data import load_dsprites
@@ -80,6 +78,8 @@ def main(argv=None, colored: bool = False) -> None:
         n_epochs=opt.n_epochs,
         batch_size=opt.batch_size,
         lr=opt.lr,
+        b1=opt.b1,
+        b2=opt.b2,
         code_dim=opt.code_dim,
         img_size=opt.img_size,
         sample_interval=opt.sample_interval,

@@ -17,7 +17,6 @@ import os
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from eadgan_tpu.cli.common import add_adam_args, add_run_args, jit_generator_apply, run_epochs
 from eadgan_tpu.data import load_dsprites
@@ -65,6 +64,11 @@ def main(argv=None, colored: bool = False) -> None:
         n_epochs=opt.n_epochs,
         batch_size=opt.batch_size,
         lr=opt.lr,
+        # colored parity: D follows --lr (colored_dSprites/rp_color.py:275);
+        # gray hard-codes 2e-4 (dSprites/rp.py:277)
+        d_lr=opt.lr if colored else 2e-4,
+        b1=opt.b1,
+        b2=opt.b2,
         code_dim=opt.code_dim,
         n_classes=opt.n_classes,
         img_size=opt.img_size,

@@ -102,14 +102,14 @@ def main(argv=None) -> None:
         elif name == "FactorVAE":
             results.update(factorvae_score(metric_data, representer))
         elif name == "MIG":
-            values = (
-                data.latents_values[:, 1:]
-                if data.latents_values is not None
-                else None
-            )
-            results.update(
-                mig_score(data.imgs, values, representer, rng=rng)
-            )
+            if data.latents_values is None:
+                print("skipping MIG: dataset has no latents_values")
+            else:
+                results.update(
+                    mig_score(
+                        data.imgs, data.latents_values[:, 1:], representer, rng=rng
+                    )
+                )
         elif name == "SAP":
             results.update(sap_score(metric_data, representer))
         elif name == "DCI":

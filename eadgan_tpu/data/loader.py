@@ -59,18 +59,41 @@ class Prefetcher:
         self._queue: queue.Queue = queue.Queue(maxsize=depth)
         self._sentinel = object()
         self._err: Optional[BaseException] = None
+        self._stop = threading.Event()
+
+        def put(item) -> bool:
+            """Bounded put that aborts when the consumer closes us."""
+            while not self._stop.is_set():
+                try:
+                    self._queue.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def worker():
             try:
                 for batch in batches:
-                    self._queue.put(self._place(batch))
+                    if not put(self._place(batch)):
+                        return
             except BaseException as e:  # surfaced on the consumer side
                 self._err = e
             finally:
-                self._queue.put(self._sentinel)
+                put(self._sentinel)
 
         self._thread = threading.Thread(target=worker, daemon=True)
         self._thread.start()
+
+    def close(self) -> None:
+        """Release the worker and any staged device batches (call when
+        abandoning the iterator early, e.g. on a max_steps cutoff)."""
+        self._stop.set()
+        try:
+            while True:
+                self._queue.get_nowait()
+        except queue.Empty:
+            pass
+        self._thread.join(timeout=5)
 
     def __iter__(self):
         while True:

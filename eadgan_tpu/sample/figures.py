@@ -27,8 +27,8 @@ __all__ = [
 ]
 
 
-def _sweep(n_row, code_dim, dims, values):
-    """(n_row*n_row, code_dim) codes with ``values`` written into the
+def _sweep(code_dim, dims, values):
+    """(len(values), code_dim) codes with ``values`` written into the
     given dims; everything else zero."""
     c = np.zeros((values.shape[0], code_dim), np.float32)
     for d in dims:
@@ -36,17 +36,20 @@ def _sweep(n_row, code_dim, dims, values):
     return c
 
 
-def mnist_training_grids(apply_g, real_img, scaled_img, out_dir, batches_done, n_row=10):
+def mnist_training_grids(
+    apply_g, real_img, scaled_img, out_dir, batches_done, n_row=10,
+    latent_dim=62, n_classes=10, code_dim=7,
+):
     """MNIST/EAD-GAN_rpqmnxy.py:276-330: static digits grid + original +
     scaled + varying_c1..c7 (column-wise ramp -2..2, zero z)."""
     rng = np.random.default_rng(batches_done)
     n = n_row * n_row
-    static_label = np.eye(10, dtype=np.float32)[
-        np.repeat(np.arange(n_row), n_row) % 10
+    static_label = np.eye(n_classes, dtype=np.float32)[
+        np.repeat(np.arange(n_row), n_row) % n_classes
     ]
-    z_random = rng.normal(0, 1, (n, 62)).astype(np.float32)
-    zeros_z = np.zeros((n, 62), np.float32)
-    zeros_c = np.zeros((n, 7), np.float32)
+    z_random = rng.normal(0, 1, (n, latent_dim)).astype(np.float32)
+    zeros_z = np.zeros((n, latent_dim), np.float32)
+    zeros_c = np.zeros((n, code_dim), np.float32)
 
     static = apply_g(z_random, static_label, zeros_c)
     save_image(np.asarray(static), f"{out_dir}/static/{batches_done}.png", nrow=n_row)
@@ -54,8 +57,8 @@ def mnist_training_grids(apply_g, real_img, scaled_img, out_dir, batches_done, n
     save_image(np.asarray(scaled_img), f"{out_dir}/scaled/{batches_done}.png", nrow=n_row)
 
     ramp = np.tile(np.linspace(-2, 2, n_row), n_row).astype(np.float32)
-    for k in range(7):
-        c = _sweep(n_row, 7, [k], ramp)
+    for k in range(code_dim):
+        c = _sweep(code_dim, [k], ramp)
         sample = apply_g(zeros_z, static_label, c)
         save_image(
             np.asarray(sample), f"{out_dir}/varying_c{k+1}/{batches_done}.png", nrow=n_row
@@ -73,7 +76,7 @@ def mnist_inference_grids(apply_g, out_dir, batches_done=0, n_row=10):
     ramp = -np.tile(np.linspace(-1, 1, n_row), n_row).astype(np.float32)
     sweeps = [[0], [1, 2], [2], [3], [4], [5], [6]]
     for k, dims in enumerate(sweeps):
-        c = _sweep(n_row, 7, dims, ramp)
+        c = _sweep(7, dims, ramp)
         sample = apply_g(zeros_z, static_label, c)
         save_image(
             np.asarray(sample), f"{out_dir}/varying_c{k+1}/{batches_done}.png", nrow=n_row
@@ -100,21 +103,26 @@ def sprites_training_grids(
     sweep_dims = [[0], [1], [2], [3], [0], [0], [0]]
     for k, dims in enumerate(sweep_dims):
         dims = [d for d in dims if d < code_dim]
-        c = _sweep(n_cols, code_dim, dims, ramp)
+        c = _sweep(code_dim, dims, ramp)
         z_c = np.concatenate([onehot, c], axis=-1)
         sample = (np.asarray(apply_g(z_c)) - 0.5) * 2
         save_image(sample, f"{out_dir}/varying_c{k+1}/{batches_done}.png", nrow=n_cols)
 
 
-def celeba_training_grids(apply_g, real_img, scaled_img, out_dir, batches_done, n_row=10):
+def celeba_training_grids(
+    apply_g, real_img, scaled_img, out_dir, batches_done, n_row=10,
+    latent_dim=200, n_classes=10, code_dim=8,
+):
     """celebA/EAD-GAN_celebA.py:233-285: static + original + scaled +
     varying_c1..c8 with a row-wise ramp."""
     rng = np.random.default_rng(batches_done)
     n = n_row * n_row
-    static_label = np.eye(10, dtype=np.float32)[np.tile(np.arange(n_row), n_row) % 10]
-    z_random = rng.normal(0, 1, (n, 200)).astype(np.float32)
-    zeros_z = np.zeros((n, 200), np.float32)
-    zeros_c = np.zeros((n, 8), np.float32)
+    static_label = np.eye(n_classes, dtype=np.float32)[
+        np.tile(np.arange(n_row), n_row) % n_classes
+    ]
+    z_random = rng.normal(0, 1, (n, latent_dim)).astype(np.float32)
+    zeros_z = np.zeros((n, latent_dim), np.float32)
+    zeros_c = np.zeros((n, code_dim), np.float32)
 
     static = apply_g(z_random, static_label, zeros_c)
     save_image(np.asarray(static), f"{out_dir}/static/{batches_done}.png", nrow=n_row)
@@ -122,8 +130,8 @@ def celeba_training_grids(apply_g, real_img, scaled_img, out_dir, batches_done, 
     save_image(np.asarray(scaled_img), f"{out_dir}/scaled/{batches_done}.png", nrow=n_row)
 
     ramp = np.repeat(np.linspace(-1, 1, n_row), n_row).astype(np.float32)
-    for k in range(8):
-        c = _sweep(n_row, 8, [k], ramp)
+    for k in range(code_dim):
+        c = _sweep(code_dim, [k], ramp)
         sample = apply_g(zeros_z, static_label, c)
         save_image(
             np.asarray(sample), f"{out_dir}/varying_c{k+1}/{batches_done}.png", nrow=n_row
@@ -139,7 +147,7 @@ def celeba_inference_grids(apply_g, out_dir, batches_done=0, n_row=10):
     ramp = np.repeat(np.linspace(-1.0, 1.0, n_row), n_row).astype(np.float32)
     sweeps = [[0], [1, 2], [2], [3, 4], [4], [5], [6], [7]]
     for k, dims in enumerate(sweeps):
-        c = _sweep(n_row, 8, dims, ramp)
+        c = _sweep(8, dims, ramp)
         sample = apply_g(zeros_z, static_label, c)
         save_image(
             np.asarray(sample), f"{out_dir}/varying_c{k+1}/{batches_done}.png", nrow=n_row

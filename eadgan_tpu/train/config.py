@@ -117,6 +117,17 @@ class MnistConfig:
     lambda_con: float = 0.1
     lambda_affine: float = 0.1
 
+    def __post_init__(self):
+        if self.code_dim != 7:
+            raise ValueError(
+                "MNIST requires code_dim=7: the rpqmnxy affine regularizer "
+                f"recovers exactly 7 parameters (got {self.code_dim})"
+            )
+        if self.img_size % 16 != 0:
+            raise ValueError(
+                f"img_size must be divisible by 16 (4 stride-2 stages), got {self.img_size}"
+            )
+
     @property
     def d_lr(self) -> float:
         return self.lr * 2.0
@@ -143,3 +154,14 @@ class CelebaConfig:
     lambda_cat: float = 1.0
     lambda_con: float = 1.0
     lambda_affine: float = 1.0
+
+    def __post_init__(self):
+        if self.code_dim < 5:
+            raise ValueError(
+                "CelebA requires code_dim >= 5: the rpqxy affine regularizer "
+                f"consumes the first five codes (got {self.code_dim})"
+            )
+        if self.img_size % 16 != 0:
+            raise ValueError(
+                f"img_size must be divisible by 16 (4 stride-2 stages), got {self.img_size}"
+            )

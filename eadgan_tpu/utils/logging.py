@@ -36,12 +36,17 @@ class MetricLogger:
         batch: Optional[int] = None,
         n_batches: Optional[int] = None,
     ) -> None:
+        should_print = step % self.print_every == 0
+        if self._fh is None and not should_print:
+            # avoid the device->host sync of float() on steps where
+            # nothing is written or shown
+            return
         record = {"step": step, "t": round(time.time() - self._start, 3)}
         record.update({k: float(v) for k, v in metrics.items()})
         if self._fh:
             self._fh.write(json.dumps(record) + "\n")
             self._fh.flush()
-        if step % self.print_every == 0:
+        if should_print:
             prefix = ""
             if epoch is not None and n_epochs is not None:
                 prefix += f"[Epoch {epoch}/{n_epochs}] "
