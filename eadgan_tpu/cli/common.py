@@ -86,13 +86,17 @@ def run_epochs(
     """
     from eadgan_tpu.utils import trace
 
-    with trace(profile_dir or None):
-        return _run_epochs_inner(
-            n_epochs=n_epochs, data=data, labels=labels, batch_size=batch_size,
-            state=state, step_fn=step_fn, on_batch=on_batch, seed=seed,
-            max_steps=max_steps, logger=logger, metric_keys=metric_keys,
-            scale=scale, shift=shift, data_parallel=data_parallel,
-        )
+    try:
+        with trace(profile_dir or None):
+            return _run_epochs_inner(
+                n_epochs=n_epochs, data=data, labels=labels, batch_size=batch_size,
+                state=state, step_fn=step_fn, on_batch=on_batch, seed=seed,
+                max_steps=max_steps, logger=logger, metric_keys=metric_keys,
+                scale=scale, shift=shift, data_parallel=data_parallel,
+            )
+    finally:
+        if logger is not None:
+            logger.close()  # flush buffered JSONL records
 
 
 def _run_epochs_inner(

@@ -33,13 +33,15 @@ def _load() -> Optional[ctypes.CDLL]:
             return _lib
         _tried = True
         try:
-            if not os.path.exists(_SO) and os.path.exists(_SRC):
-                os.makedirs(os.path.dirname(_SO), exist_ok=True)
+            stale = (
+                os.path.exists(_SO)
+                and os.path.exists(_SRC)
+                and os.path.getmtime(_SRC) > os.path.getmtime(_SO)
+            )
+            if (not os.path.exists(_SO) or stale) and os.path.exists(_SRC):
+                # single source of truth for build flags: the Makefile
                 subprocess.run(
-                    [
-                        "g++", "-O3", "-march=native", "-std=c++17", "-fPIC",
-                        "-shared", "-pthread", "-o", _SO, _SRC,
-                    ],
+                    ["make", "-C", os.path.dirname(_SRC)],
                     check=True,
                     capture_output=True,
                 )

@@ -31,14 +31,16 @@ from jax.sharding import NamedSharding
 
 __all__ = ["initialize", "host_batch_slice", "global_batch_from_host"]
 
-# Environment markers jax's cluster auto-detection understands; if none
-# are present and no coordinator is given, there is no cluster to join.
+# Explicit coordinator markers only.  Scheduler variables like
+# SLURM_JOB_ID or OMPI_COMM_WORLD_SIZE are deliberately NOT honored:
+# they are set for single-process interactive allocations too, where
+# jax's cluster auto-detection crashes on missing step variables —
+# multi-process scheduler launches should pass coordinator_address (or
+# set JAX_COORDINATOR_ADDRESS) explicitly.
 _CLUSTER_ENV_VARS = (
     "JAX_COORDINATOR_ADDRESS",
     "COORDINATOR_ADDRESS",
     "MEGASCALE_COORDINATOR_ADDRESS",
-    "SLURM_JOB_ID",
-    "OMPI_COMM_WORLD_SIZE",
 )
 
 

@@ -24,21 +24,27 @@ def trace(log_dir: Optional[str]) -> Iterator[None]:
 
 
 class step_timer:
-    """Rolling steps/sec and images/sec meter (device-synchronized)."""
+    """Rolling steps/sec and images/sec meter.
+
+    Forces each step's result to the host (``device_get``) — reliable on
+    remote runtimes where block_until_ready returns early, at the cost
+    of serializing dispatch; use only for measurement, and prefer the
+    in-graph fori-loop differencing of bench.py for precise numbers.
+    """
 
     def __init__(self, warmup: int = 2):
-        self.warmup = warmup
+        self.warmup = max(warmup, 0)
         self.count = 0
         self._t0 = None
         self.images = 0
 
     def tick(self, result, batch_size: int) -> None:
-        jax.block_until_ready(result)
+        jax.device_get(jax.tree.leaves(result)[:1])
         self.count += 1
-        if self.count == self.warmup:
+        if self.count >= self.warmup and self._t0 is None:
             self._t0 = time.perf_counter()
             self.images = 0
-        elif self.count > self.warmup:
+        elif self._t0 is not None:
             self.images += batch_size
 
     @property

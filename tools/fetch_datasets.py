@@ -35,7 +35,11 @@ def fetch(url: str, dest: str) -> None:
         return
     os.makedirs(os.path.dirname(dest) or ".", exist_ok=True)
     print(f"fetching {url} -> {dest}")
-    urllib.request.urlretrieve(url, dest)
+    # download to a temp name so an interrupted transfer is never
+    # mistaken for a complete archive on the next run
+    tmp = dest + ".part"
+    urllib.request.urlretrieve(url, tmp)
+    os.replace(tmp, dest)
 
 
 def main() -> None:
