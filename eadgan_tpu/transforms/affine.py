@@ -226,7 +226,9 @@ def inverse_affine(matrix: jnp.ndarray) -> jnp.ndarray:
     tx = matrix[..., 0, 2]
     ty = matrix[..., 1, 2]
     det = a00 * a11 - a01 * a10
-    inv_det = 1.0 / det
+    # matrices built from *predicted* codes can degenerate to det ~ 0
+    # mid-training; keep the inverse finite (see _safe_div)
+    inv_det = _safe_div(jnp.ones_like(det), det)
     i00 = a11 * inv_det
     i01 = -a01 * inv_det
     i10 = -a10 * inv_det
@@ -254,11 +256,31 @@ def compose_relative(real_matrix: jnp.ndarray, trans_matrix: jnp.ndarray) -> jnp
     )
 
 
+_RECOVERY_EPS = 1e-6
+
+
+def _safe_div(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """a / b with the denominator nudged away from zero.
+
+    The closed-form recoveries divide by recovered zoom terms that come
+    from *predicted* (unbounded) codes during training; a degenerate
+    prediction makes the reference NaN the whole run
+    (inf/0-by-0 through torch.atan/div).  In the normal regime
+    |b| ~ 1 >> eps, so values are bit-identical to the plain division.
+    """
+    guarded = jnp.where(
+        jnp.abs(b) < _RECOVERY_EPS,
+        jnp.where(b < 0, -_RECOVERY_EPS, _RECOVERY_EPS),
+        b,
+    )
+    return a / guarded
+
+
 def _matrix_to_params_pxy(rel: jnp.ndarray) -> jnp.ndarray:
     """Closed-form (p, x, y) recovery (dSprites/utils_pxy.py:117-123)."""
     p = (rel[..., 0, 0] + rel[..., 1, 1]) / 2.0
-    x = rel[..., 0, 2] / p
-    y = rel[..., 1, 2] / p
+    x = _safe_div(rel[..., 0, 2], p)
+    y = _safe_div(rel[..., 1, 2], p)
     return jnp.stack([p, x, y], axis=-1)
 
 
@@ -268,11 +290,11 @@ def _matrix_to_params_rp(rel: jnp.ndarray) -> jnp.ndarray:
     m00, m01 = rel[..., 0, 0], rel[..., 0, 1]
     m10, m11 = rel[..., 1, 0], rel[..., 1, 1]
     m02, m12 = rel[..., 0, 2], rel[..., 1, 2]
-    theta = jnp.arctan((m10 - m01) / (m00 + m11))
+    theta = jnp.arctan(_safe_div(m10 - m01, m00 + m11))
     ct, st = jnp.cos(theta), jnp.sin(theta)
     p = 0.5 * (ct * (m00 + m11) + st * (m10 - m01))
-    x = (m02 * ct + m12 * st) / p
-    y = (m12 * ct - m02 * st) / p
+    x = _safe_div(m02 * ct + m12 * st, p)
+    y = _safe_div(m12 * ct - m02 * st, p)
     return jnp.stack([theta, p, x, y], axis=-1)
 
 
@@ -284,12 +306,12 @@ def _matrix_to_params_rpqxy(rel: jnp.ndarray) -> jnp.ndarray:
     m02, m12 = rel[..., 0, 2], rel[..., 1, 2]
     num = m00 * m10 - m01 * m11
     den = m00**2 + m11**2 - m01**2 - m10**2
-    theta = 0.5 * jnp.arctan(2.0 * num / den)
+    theta = 0.5 * jnp.arctan(_safe_div(2.0 * num, den))
     ct, st = jnp.cos(theta), jnp.sin(theta)
     p = m00 * ct + m10 * st
     q = -m01 * st + m11 * ct
-    x = (m02 * ct + m12 * st) / p
-    y = (m12 * ct - m02 * st) / q
+    x = _safe_div(m02 * ct + m12 * st, p)
+    y = _safe_div(m12 * ct - m02 * st, q)
     return jnp.stack([theta, p, q, x, y], axis=-1)
 
 

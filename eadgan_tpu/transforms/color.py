@@ -44,9 +44,13 @@ def regularize_color(
     """Relative color code via the element-wise gain ratio
     ``trans_gain / real_gain`` (colored_dSprites/utils_rp_color.py:130-135,
     colored_dSprites/utils_pxy.py:167-172)."""
+    from eadgan_tpu.transforms.affine import _safe_div
+
     real_gain = color_code_to_gain(real_code, rgb_factor)
     trans_gain = color_code_to_gain(trans_code, rgb_factor)
-    return gain_to_color_code(trans_gain / real_gain, rgb_factor)
+    # real_gain comes from *predicted* codes during training and can
+    # cross zero; guard the ratio like the affine recoveries do
+    return gain_to_color_code(_safe_div(trans_gain, real_gain), rgb_factor)
 
 
 def apply_color(img: jnp.ndarray, gain: jnp.ndarray) -> jnp.ndarray:

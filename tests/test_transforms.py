@@ -167,3 +167,28 @@ def test_apply_remove_color_roundtrip(rng):
     )
     out = remove_color(apply_color(jnp.asarray(img), gain), gain)
     np.testing.assert_allclose(out, img, rtol=1e-5, atol=1e-6)
+
+
+def test_recovery_stays_finite_on_degenerate_codes(rng):
+    """Predicted codes are unbounded during training; degenerate zooms
+    (p == 0, det == 0) must not poison the loss with NaN/inf (the
+    reference NaNs the whole run here)."""
+    import jax
+
+    for family in (PXY, RP, RPQXY):
+        base = _sample_codes(rng, family)
+        # p-code = -1/pq_factor makes the zoom exactly zero
+        sing = base.copy()
+        sing[:, 1 if family.has_rotation else 0] = -1.0 / family.pq_factor
+        rec = regularize(family, jnp.asarray(sing), jnp.asarray(base))
+        assert np.all(np.isfinite(np.asarray(rec))), family.name
+        # gradients through the guarded recovery stay finite too
+        g = jax.grad(
+            lambda t: float(0) + jnp.sum(regularize(family, jnp.asarray(sing), t))
+        )(jnp.asarray(base))
+        assert np.all(np.isfinite(np.asarray(g))), family.name
+
+    # color ratio with a zero real gain
+    zero_gain_code = np.full((4, 3), -2.0, np.float32)  # gain = -2*0.5+1 = 0
+    rel = regularize_color(jnp.asarray(zero_gain_code), jnp.ones((4, 3)), 0.5)
+    assert np.all(np.isfinite(np.asarray(rel)))
