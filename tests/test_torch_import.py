@@ -1,0 +1,351 @@
+"""Round-trip tests for the reference-checkpoint importer: build each
+reference architecture in torch, import its state_dict, and the flax
+model must produce the same outputs on the same inputs."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+torch = pytest.importorskip("torch")
+import torch.nn as tnn  # noqa: E402
+import torch.nn.functional as TF  # noqa: E402
+from torch.nn.utils import spectral_norm as SN  # noqa: E402
+
+from eadgan_tpu.interop.torch_import import converge_sn_state  # noqa: E402
+from eadgan_tpu.interop import (  # noqa: E402
+    import_approximator,
+    import_celeba_discriminator,
+    import_celeba_generator,
+    import_mnist_discriminator,
+    import_mnist_encoder,
+    import_mnist_generator,
+    import_sprites_discriminator,
+    import_sprites_encoder,
+    import_sprites_encoder_pxy,
+    import_sprites_generator,
+)
+from eadgan_tpu.models import (  # noqa: E402
+    AffineApproximator,
+    CelebaDiscriminator,
+    CelebaGenerator,
+    MnistDiscriminator,
+    MnistEncoder,
+    MnistGenerator,
+    SpritesDiscriminator,
+    SpritesEncoder,
+    SpritesEncoderPxy,
+    SpritesGenerator,
+)
+
+
+def _sd(model, warm_inputs=None, n_warm=40):
+    """state_dict after a few train-mode forwards (converges SN's u)."""
+    if warm_inputs is not None:
+        model.train()
+        with torch.no_grad():
+            for _ in range(n_warm):
+                model(*warm_inputs)
+    model.eval()
+    return {k: v.numpy().copy() for k, v in model.state_dict().items()}
+
+
+def _nhwc(x_nchw):
+    return jnp.asarray(np.transpose(x_nchw.numpy(), (0, 2, 3, 1)))
+
+
+def _close(flax_out, torch_out, tol=2e-3):
+    np.testing.assert_allclose(
+        np.asarray(flax_out), torch_out.detach().numpy(), rtol=tol, atol=tol
+    )
+
+
+# --- reference architectures rebuilt in torch (spec: SURVEY.md 2.1) ------
+
+
+class TorchSpritesPxy(tnn.Module):
+    def __init__(self, channels=1, out_dim=3):
+        super().__init__()
+        chans = [channels, 32, 32, 64, 64]
+        self.conv_block = tnn.Sequential(
+            *[
+                layer
+                for i in range(4)
+                for layer in (tnn.Conv2d(chans[i], chans[i + 1], 4, 2, 1), tnn.LeakyReLU(0.1))
+            ]
+        )
+        self.fc1 = tnn.Linear(1024, out_dim)
+
+    def forward(self, x):
+        h = self.conv_block(x)
+        return self.fc1(h.reshape(h.shape[0], -1))
+
+
+class TorchSpritesD(tnn.Module):
+    def __init__(self, channels=1):
+        super().__init__()
+        chans = [channels, 32, 32, 64, 64]
+        self.conv_block = tnn.Sequential(
+            *[
+                layer
+                for i in range(4)
+                for layer in (SN(tnn.Conv2d(chans[i], chans[i + 1], 4, 2, 1)), tnn.LeakyReLU(0.2))
+            ]
+        )
+        self.fc1 = tnn.Sequential(SN(tnn.Linear(1024, 128)), tnn.LeakyReLU(0.2))
+        self.fc2 = tnn.Linear(128, 1)
+
+    def forward(self, x):
+        h = self.conv_block(x)
+        return torch.sigmoid(self.fc2(self.fc1(h.reshape(h.shape[0], -1))))
+
+
+class TorchSpritesG(tnn.Module):
+    def __init__(self, in_dim=7, channels=1):
+        super().__init__()
+        self.fc1 = tnn.Sequential(tnn.Linear(in_dim, 128), tnn.ReLU())
+        self.fc2 = tnn.Sequential(tnn.Linear(128, 1024), tnn.ReLU())
+        layers = []
+        for _ in range(3):
+            layers += [tnn.ConvTranspose2d(64, 64, 4, 2, 1), tnn.BatchNorm2d(64), tnn.ReLU()]
+        layers += [tnn.ConvTranspose2d(64, channels, 4, 2, 1)]
+        self.conv_block = tnn.Sequential(*layers)
+
+    def forward(self, z):
+        h = self.fc2(self.fc1(z)).reshape(-1, 64, 4, 4)
+        return torch.sigmoid(self.conv_block(h))
+
+
+class TorchSpritesE(tnn.Module):
+    def __init__(self, channels=1, n_classes=3, code_dim=4):
+        super().__init__()
+        chans = [channels, 32, 32, 64, 64]
+        self.conv_block = tnn.Sequential(
+            *[
+                layer
+                for i in range(4)
+                for layer in (SN(tnn.Conv2d(chans[i], chans[i + 1], 4, 2, 1)), tnn.LeakyReLU(0.2))
+            ]
+        )
+        self.fc1 = tnn.Sequential(SN(tnn.Linear(1024, 128)), tnn.LeakyReLU(0.2))
+        self.fc2 = tnn.Sequential(SN(tnn.Linear(128, 128)), tnn.LeakyReLU(0.2))
+        self.cat_layer = tnn.Sequential(SN(tnn.Linear(128, n_classes)), tnn.Softmax(dim=1))
+        self.cont_layer = tnn.Sequential(SN(tnn.Linear(128, code_dim)))
+
+    def forward(self, x):
+        h = self.conv_block(x).reshape(x.shape[0], -1)
+        h = self.fc2(self.fc1(h))
+        return self.cat_layer(h), self.cont_layer(h)
+
+
+def test_sprites_pxy_import(rng):
+    t = TorchSpritesPxy()
+    x = torch.rand(4, 1, 64, 64)
+    sd = _sd(t, (x,))
+    variables = import_sprites_encoder_pxy(sd)
+    out = SpritesEncoderPxy().apply(variables, _nhwc(x), train=False)
+    _close(out, t(x))
+
+
+def test_sprites_discriminator_import(rng):
+    t = TorchSpritesD()
+    x = torch.rand(4, 1, 64, 64)
+    sd = _sd(t, (x,))
+    variables = import_sprites_discriminator(sd)
+    model = SpritesDiscriminator()
+    variables = converge_sn_state(model, variables, jnp.zeros((1, 64, 64, 1)))
+    out, _ = model.apply(variables, _nhwc(x), train=False, mutable=["batch_stats"])
+    _close(out, t(x))
+
+
+def test_sprites_generator_import(rng):
+    t = TorchSpritesG()
+    z = torch.randn(4, 7)
+    sd = _sd(t, (z,))
+    variables = import_sprites_generator(sd)
+    model = SpritesGenerator()
+    t.train()  # batch-stats BN on both sides
+    out, _ = model.apply(variables, jnp.asarray(z.numpy()), mutable=["batch_stats"])
+    _close(out, t(z).permute(0, 2, 3, 1))
+
+
+def test_sprites_encoder_import(rng):
+    t = TorchSpritesE()
+    x = torch.rand(4, 1, 64, 64)
+    sd = _sd(t, (x,))
+    variables = import_sprites_encoder(sd)
+    model = SpritesEncoder()
+    variables = converge_sn_state(model, variables, jnp.zeros((1, 64, 64, 1)))
+    (cat, cont), _ = model.apply(variables, _nhwc(x), train=False, mutable=["batch_stats"])
+    t_cat, t_cont = t(x)
+    _close(cat, t_cat)
+    _close(cont, t_cont)
+
+
+class TorchMnistG(tnn.Module):
+    def __init__(self):
+        super().__init__()
+        self.l1 = tnn.Sequential(tnn.Linear(79, 128 * 64))
+        self.conv_blocks = tnn.Sequential(
+            tnn.BatchNorm2d(128),
+            tnn.Upsample(scale_factor=2),
+            tnn.Conv2d(128, 128, 3, 1, 1),
+            tnn.BatchNorm2d(128, 0.8),
+            tnn.LeakyReLU(0.2),
+            tnn.Upsample(scale_factor=2),
+            tnn.Conv2d(128, 64, 3, 1, 1),
+            tnn.BatchNorm2d(64, 0.8),
+            tnn.LeakyReLU(0.2),
+            tnn.Conv2d(64, 1, 3, 1, 1),
+            tnn.Tanh(),
+        )
+
+    def forward(self, z, label, code):
+        h = self.l1(torch.cat([z, label, code], 1)).reshape(-1, 128, 8, 8)
+        return self.conv_blocks(h)
+
+
+def test_mnist_generator_import(rng):
+    t = TorchMnistG()
+    z, label, code = torch.randn(4, 62), torch.rand(4, 10), torch.rand(4, 7)
+    sd = _sd(t, (z, label, code))
+    variables = import_mnist_generator(sd)
+    model = MnistGenerator()
+    # train-mode BN on both sides (batch statistics)
+    t.train()
+    out, _ = model.apply(
+        variables,
+        jnp.asarray(z.numpy()), jnp.asarray(label.numpy()), jnp.asarray(code.numpy()),
+        mutable=["batch_stats"],
+    )
+    _close(out, t(z, label, code).permute(0, 2, 3, 1))
+
+
+class TorchMnistE(tnn.Module):
+    def __init__(self):
+        super().__init__()
+        def block(cin, cout, bn):
+            layers = [SN(tnn.Conv2d(cin, cout, 3, 2, 1)), tnn.LeakyReLU(0.2)]
+            if bn:
+                layers.append(tnn.BatchNorm2d(cout, 0.8))
+            return layers
+
+        self.conv_blocks = tnn.Sequential(
+            *block(1, 16, False), *block(16, 32, True),
+            *block(32, 64, True), *block(64, 128, True),
+        )
+        self.aux_layer = tnn.Sequential(SN(tnn.Linear(512, 10)), tnn.Softmax(dim=1))
+        self.latent_layer = tnn.Sequential(SN(tnn.Linear(512, 7)))
+        self.noise_layer = tnn.Sequential(SN(tnn.Linear(512, 62)))
+
+    def forward(self, x):
+        h = self.conv_blocks(x).reshape(x.shape[0], -1)
+        return self.aux_layer(h), self.latent_layer(h), self.noise_layer(h)
+
+
+def test_mnist_encoder_import(rng):
+    t = TorchMnistE()
+    x = torch.rand(4, 1, 32, 32) * 2 - 1
+    sd = _sd(t, (x,))
+    variables = import_mnist_encoder(sd)
+    model = MnistEncoder()
+    variables = converge_sn_state(model, variables, jnp.zeros((1, 32, 32, 1)))
+    t.train()  # batch-stats BN like ours
+    (label, code, noise), _ = model.apply(
+        variables, _nhwc(x), mutable=["batch_stats"]
+    )
+    t_label, t_code, t_noise = t(x)
+    _close(label, t_label)
+    _close(code, t_code)
+    _close(noise, t_noise)
+
+
+class TorchApprox(tnn.Module):
+    def __init__(self):
+        super().__init__()
+        layers = []
+        dims = [6, 256, 256, 256, 256]
+        for i in range(4):
+            layers += [tnn.Linear(dims[i], dims[i + 1]), tnn.LeakyReLU()]
+        layers += [tnn.Linear(256, 7)]
+        self.fc_block = tnn.Sequential(*layers)
+
+    def forward(self, x):
+        return self.fc_block(x)
+
+
+def test_approximator_import(rng):
+    t = TorchApprox()
+    x = torch.randn(4, 6)
+    sd = _sd(t)
+    variables = import_approximator(sd)
+    out = AffineApproximator().apply(variables, jnp.asarray(x.numpy()))
+    _close(out, t(x))
+
+
+class TorchCelebaG(tnn.Module):
+    def __init__(self):
+        super().__init__()
+        self.conv_blocks = tnn.Sequential(
+            tnn.ConvTranspose2d(218, 1024, 4, 1, 0),
+            tnn.ConvTranspose2d(1024, 512, 4, 2, 1), tnn.BatchNorm2d(512), tnn.ReLU(),
+            tnn.ConvTranspose2d(512, 256, 4, 2, 1), tnn.BatchNorm2d(256), tnn.ReLU(),
+            tnn.ConvTranspose2d(256, 128, 4, 2, 1), tnn.BatchNorm2d(128), tnn.ReLU(),
+            tnn.ConvTranspose2d(128, 3, 4, 2, 1), tnn.Tanh(),
+        )
+
+    def forward(self, z, label, code):
+        h = torch.cat([z, label, code], 1)[:, :, None, None]
+        return self.conv_blocks(h)
+
+
+def test_celeba_generator_import(rng):
+    t = TorchCelebaG()
+    z, label, code = torch.randn(2, 200), torch.rand(2, 10), torch.rand(2, 8)
+    sd = _sd(t, (z, label, code))
+    variables = import_celeba_generator(sd)
+    model = CelebaGenerator()
+    t.train()
+    out, _ = model.apply(
+        variables,
+        jnp.asarray(z.numpy()), jnp.asarray(label.numpy()), jnp.asarray(code.numpy()),
+        mutable=["batch_stats"],
+    )
+    _close(out, t(z, label, code).permute(0, 2, 3, 1))
+
+
+class TorchCelebaD(tnn.Module):
+    def __init__(self):
+        super().__init__()
+        self.main = tnn.Sequential(
+            SN(tnn.Conv2d(3, 128, 4, 2, 1)), tnn.LeakyReLU(0.1),
+            SN(tnn.Conv2d(128, 256, 4, 2, 1)), tnn.LeakyReLU(0.1),
+            SN(tnn.Conv2d(256, 512, 4, 2, 1)), tnn.LeakyReLU(0.1),
+            SN(tnn.Conv2d(512, 1024, 4, 2, 1)), tnn.LeakyReLU(0.1),
+            tnn.Conv2d(1024, 19, 4, 1, 0),
+        )
+
+    def forward(self, x):
+        out = self.main(x).squeeze(-1).squeeze(-1)
+        return (
+            TF.softmax(out[:, 9:19], dim=1),
+            out[:, 1:9],
+            torch.sigmoid(out[:, 0]),
+        )
+
+
+def test_celeba_discriminator_import(rng):
+    t = TorchCelebaD()
+    x = torch.rand(2, 3, 64, 64) * 2 - 1
+    sd = _sd(t, (x,))
+    variables = import_celeba_discriminator(sd)
+    model = CelebaDiscriminator()
+    variables = converge_sn_state(model, variables, jnp.zeros((1, 64, 64, 3)))
+    (cat, cont, validity), _ = model.apply(
+        variables, _nhwc(x), train=False, mutable=["batch_stats"]
+    )
+    t_cat, t_cont, t_v = t(x)
+    _close(cat, t_cat)
+    _close(cont, t_cont)
+    _close(validity, t_v)
