@@ -122,7 +122,10 @@ def make_sprites_gan_step(
         return code, onehot
 
     @jax.jit
-    def step(state: GanTrainState, img: jnp.ndarray):
+    def step(state: GanTrainState, img: jnp.ndarray, fixed=None):
+        """``fixed`` (tests/parity runs only) injects the per-phase random
+        draws instead of sampling from the state PRNG:
+        {"code_d", "onehot_d", "code_i", "onehot_i"}."""
         batch = img.shape[0]
         rng, color_rng, rng_d, rng_info = jax.random.split(state.rng, 4)
         if config.colored:
@@ -132,7 +135,10 @@ def make_sprites_gan_step(
         align_img = align_images(pxy_encoder, state.pxy, img, config)
 
         # --- B. D phase ----------------------------------------------------
-        code_d, onehot_d = sample_inputs(rng_d, batch)
+        if fixed is not None:
+            code_d, onehot_d = fixed["code_d"], fixed["onehot_d"]
+        else:
+            code_d, onehot_d = sample_inputs(rng_d, batch)
         trans_img = distort_images(align_img, code_d, config)
         z_c = jnp.concatenate([onehot_d, code_d], axis=-1)
         gen_imgs, g_stats = apply_model(generator, state.g, z_c)
@@ -156,7 +162,10 @@ def make_sprites_gan_step(
         d_new = ModelVars(params=d_params, stats=d_stats)
 
         # --- C. info phase (one backward through G and E) ------------------
-        code_i, onehot_i = sample_inputs(rng_info, batch)
+        if fixed is not None:
+            code_i, onehot_i = fixed["code_i"], fixed["onehot_i"]
+        else:
+            code_i, onehot_i = sample_inputs(rng_info, batch)
         z_c_i = jnp.concatenate([onehot_i, code_i], axis=-1)
         trans_img_i = distort_images(align_img, code_i, config)
 
