@@ -123,3 +123,19 @@ def test_latest_step(tmp_path):
         open(tmp_path / f"rp_train_state_{s}.ckpt", "w").close()
     assert latest_step(str(tmp_path), "rp_train_state") == 1500
     assert latest_step(str(tmp_path), "nothing") == -1
+
+
+def test_mnist_resize_matches_pil(rng):
+    """The 28->32 bilinear upscale must match PIL (what torchvision's
+    Resize used in the reference's era) to ~1 gray level."""
+    from PIL import Image
+
+    from eadgan_tpu.data.mnist import _resize_bilinear
+
+    imgs = rng.integers(0, 256, (4, 28, 28), dtype=np.uint8)
+    ours = _resize_bilinear(imgs, 32)
+    for i in range(4):
+        pil = np.asarray(
+            Image.fromarray(imgs[i]).resize((32, 32), Image.BILINEAR), np.float32
+        )
+        np.testing.assert_allclose(ours[i], pil, atol=1.5)
