@@ -32,7 +32,7 @@ from eadgan_tpu.models import (
     SpritesEncoderPxy,
     SpritesGenerator,
 )
-from eadgan_tpu.train.checkpoint import save_pytree
+from eadgan_tpu.train.checkpoint import save_model
 from eadgan_tpu.train.state import ModelVars
 
 _KINDS = {
@@ -102,8 +102,7 @@ def _convert(kind, sd, opt, out_path):
         ) from None
     model = model_fn(opt)
     variables = ti.converge_sn_state(model, variables, *dummy_fn(opt))
-    mv = ModelVars.create(variables)
-    save_pytree(out_path, {"params": mv.params, "stats": mv.stats})
+    save_model(out_path, ModelVars.create(variables))
     print(f"wrote {out_path}")
 
 
@@ -122,10 +121,23 @@ def main(argv=None) -> None:
         import torch
 
         raw = torch.load(opt.input, map_location="cpu", weights_only=True)
-        gen_sd = {k: v.numpy() for k, v in raw["generator_state_dict"].items()}
-        dis_sd = {k: v.numpy() for k, v in raw["discriminator_state_dict"].items()}
-        _convert("celeba_generator", gen_sd, opt, opt.output + ".generator")
-        _convert("celeba_discriminator", dis_sd, opt, opt.output + ".discriminator")
+        if not isinstance(raw, dict) or "generator_state_dict" not in raw:
+            raise SystemExit(
+                f"{opt.input!r} is not a reference CelebA checkpoint_%d.tar "
+                "(expected a dict with 'generator_state_dict'/"
+                "'discriminator_state_dict'); for plain state_dicts use "
+                "--kind celeba_generator / celeba_discriminator"
+            )
+
+        def to_np(sd):
+            return {
+                k: v.numpy() if hasattr(v, "numpy") else v for k, v in sd.items()
+            }
+
+        _convert("celeba_generator", to_np(raw["generator_state_dict"]), opt,
+                 opt.output + ".generator")
+        _convert("celeba_discriminator", to_np(raw["discriminator_state_dict"]), opt,
+                 opt.output + ".discriminator")
         return
 
     sd = ti.load_torch_state_dict(opt.input)

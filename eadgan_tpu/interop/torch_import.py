@@ -37,6 +37,7 @@ __all__ = [
     "import_approximator",
     "import_mnist_generator",
     "import_mnist_encoder",
+    "import_mnist_discriminator",
     "import_sprites_encoder_pxy",
     "import_sprites_generator",
     "import_sprites_discriminator",
@@ -74,14 +75,27 @@ def converge_sn_state(model, variables: dict, *dummy_inputs, iters: int = 30) ->
         merged.update(variables["batch_stats"])
         variables = dict(variables)
         variables["batch_stats"] = merged
+    def has_sn(tree) -> bool:
+        if isinstance(tree, dict):
+            return any("SpectralNorm" in str(k) or has_sn(v) for k, v in tree.items())
+        return False
+
+    if not has_sn(variables["batch_stats"]):
+        return variables  # nothing to converge (e.g. generators)
+
+    import jax
+
+    @jax.jit
+    def apply_once(v):
+        _, upd = model.apply(v, *dummy_inputs, train=True, mutable=["batch_stats"])
+        return upd["batch_stats"]
+
     for _ in range(iters):
-        _, upd = model.apply(
-            variables, *dummy_inputs, train=True, mutable=["batch_stats"]
-        )
+        upd = apply_once(variables)
         stats = dict(variables["batch_stats"])
-        for k, v in upd["batch_stats"].items():
+        for k, v in upd.items():
             # keep imported BN running stats; only SN state converges
-            if "SpectralNorm" in str(k) or any("SpectralNorm" in str(kk) for kk in (v if isinstance(v, dict) else {})):
+            if "SpectralNorm" in str(k) or has_sn(v):
                 stats[k] = v
         variables["batch_stats"] = stats
     return variables
@@ -109,10 +123,12 @@ def convT_kernel(w: np.ndarray) -> np.ndarray:
 
 
 def nchw_flatten_perm(c: int, h: int, w: int) -> np.ndarray:
-    """perm such that flax_rows[hwc_index] = torch_rows[chw_index]:
-    returns p with flax_kernel = torch_weight.T[p_inverse]... concretely
-    p[flax_idx] = torch_idx so ``K_flax = W_t.T[p]`` is WRONG; we build
-    the direct map below and use it as ``K_flax[flax_idx] = W_t.T[torch_idx]``.
+    """Row permutation for linears that consume a flattened conv map.
+
+    Returns ``p`` with ``p[flax_idx] = torch_idx``, so
+    ``K_flax = W_torch.T[p]`` places torch's (C, H, W)-ordered input
+    rows at flax's (H, W, C) positions (numerically verified in
+    tests/test_torch_import.py).
     """
     perm = np.empty(c * h * w, np.int64)
     for ci in range(c):

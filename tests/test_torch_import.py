@@ -349,3 +349,59 @@ def test_celeba_discriminator_import(rng):
     _close(cat, t_cat)
     _close(cont, t_cont)
     _close(validity, t_v)
+
+
+def test_import_cli_end_to_end(tmp_path, rng):
+    """Drive the import CLI: plain kind, --colored kind, the celeba tar
+    split, and the mismatched-kind error path."""
+    from eadgan_tpu.cli.import_torch import main as import_main
+    from eadgan_tpu.train.checkpoint import restore_model
+    from eadgan_tpu.train.state import ModelVars
+
+    # plain kind
+    t = TorchSpritesPxy()
+    src = str(tmp_path / "encoder_pxy_50000.pt")
+    torch.save(t.state_dict(), src)
+    out = str(tmp_path / "encoder_pxy_50000.flax.pt")
+    import_main(["--kind", "sprites_encoder_pxy", "--input", src, "--output", out])
+    model = SpritesEncoderPxy()
+    template = ModelVars.create(model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 1))))
+    mv = restore_model(out, template)
+    x = torch.rand(2, 1, 64, 64)
+    t.eval()
+    _close(model.apply({"params": mv.params}, _nhwc(x), train=False), t(x))
+
+    # --colored kind (wider dims)
+    tc = TorchSpritesPxy(channels=3, out_dim=6)
+    srcc = str(tmp_path / "encoder_pxy_color_50000.pt")
+    torch.save(tc.state_dict(), srcc)
+    outc = str(tmp_path / "color.flax.pt")
+    import_main(
+        ["--kind", "sprites_encoder_pxy", "--input", srcc, "--output", outc, "--colored"]
+    )
+
+    # celeba tar split
+    g, d = TorchCelebaG(), TorchCelebaD()
+    tar = str(tmp_path / "checkpoint_600000.tar")
+    torch.save(
+        {
+            "generator_state_dict": g.state_dict(),
+            "discriminator_state_dict": d.state_dict(),
+            "epoch": 1,
+            "batches_done": 600000,
+        },
+        tar,
+    )
+    outt = str(tmp_path / "ck")
+    import_main(["--kind", "celeba_checkpoint", "--input", tar, "--output", outt])
+    import os
+
+    assert os.path.exists(outt + ".generator") and os.path.exists(outt + ".discriminator")
+
+    # mismatched kind -> friendly SystemExit
+    with pytest.raises(SystemExit, match="really a 'mnist_generator'"):
+        import_main(["--kind", "mnist_generator", "--input", src, "--output", "x.pt"])
+
+    # a plain state_dict fed to celeba_checkpoint -> friendly SystemExit
+    with pytest.raises(SystemExit, match="not a reference CelebA"):
+        import_main(["--kind", "celeba_checkpoint", "--input", src, "--output", "y"])
