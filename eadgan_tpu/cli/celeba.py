@@ -15,12 +15,12 @@ import os
 
 import jax
 
-from eadgan_tpu.cli.common import add_adam_args, add_run_args, jit_generator_apply, run_epochs
+from eadgan_tpu.cli.common import add_adam_args, add_run_args, jit_generator_apply, maybe_resume, run_epochs
 from eadgan_tpu.data import load_image_folder
 from eadgan_tpu.models import CelebaDiscriminator, CelebaGenerator
 from eadgan_tpu.ops import warp_affine
 from eadgan_tpu.sample.figures import celeba_training_grids
-from eadgan_tpu.train.checkpoint import restore_pytree, save_pytree
+from eadgan_tpu.train.checkpoint import save_pytree
 from eadgan_tpu.train.config import CelebaConfig
 from eadgan_tpu.train.gan_celeba import init_celeba_gan_state, make_celeba_gan_step
 from eadgan_tpu.transforms import RPQXY, code_to_matrix
@@ -73,8 +73,7 @@ def main(argv=None) -> None:
     state = init_celeba_gan_state(
         generator, discriminator, config, jax.random.PRNGKey(opt.seed)
     )
-    if opt.resume:
-        state = restore_pytree(opt.resume, state)
+    state = maybe_resume(state, opt.resume, opt.ckpt_dir, "celeba_train_state")
     step = make_celeba_gan_step(generator, discriminator, config)
     logger = MetricLogger(opt.jsonl or None, print_every=10)
     state_holder = [state]

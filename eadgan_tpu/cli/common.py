@@ -26,9 +26,30 @@ from eadgan_tpu.utils import MetricLogger
 __all__ = [
     "add_adam_args",
     "add_run_args",
+    "maybe_resume",
     "run_epochs",
     "jit_generator_apply",
 ]
+
+
+def maybe_resume(state, resume: str, ckpt_dir: str, stem: str):
+    """Handle --resume: a path restores that train state; the literal
+    ``auto`` restores the newest ``<stem>_%d.ckpt`` in ckpt_dir (no-op
+    when none exist) — crash recovery without bookkeeping."""
+    from eadgan_tpu.train.checkpoint import latest_step, restore_pytree
+    import os
+
+    if not resume:
+        return state
+    if resume != "auto":
+        return restore_pytree(resume, state)
+    step = latest_step(ckpt_dir, stem)
+    if step < 0:
+        print(f"--resume auto: no {stem}_*.ckpt in {ckpt_dir}, starting fresh")
+        return state
+    path = os.path.join(ckpt_dir, f"{stem}_{step}.ckpt")
+    print(f"--resume auto: restoring {path}")
+    return restore_pytree(path, state)
 
 
 def add_adam_args(parser: argparse.ArgumentParser, lr: float) -> None:

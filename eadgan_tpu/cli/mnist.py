@@ -16,7 +16,7 @@ import os
 import jax
 import jax.numpy as jnp
 
-from eadgan_tpu.cli.common import add_adam_args, add_run_args, jit_generator_apply, run_epochs
+from eadgan_tpu.cli.common import add_adam_args, add_run_args, jit_generator_apply, maybe_resume, run_epochs
 from eadgan_tpu.data import load_mnist
 from eadgan_tpu.models import (
     AffineApproximator,
@@ -26,7 +26,7 @@ from eadgan_tpu.models import (
 )
 from eadgan_tpu.ops import warp_affine
 from eadgan_tpu.sample.figures import mnist_training_grids
-from eadgan_tpu.train.checkpoint import restore_model, restore_pytree, save_model, save_pytree
+from eadgan_tpu.train.checkpoint import restore_model, save_model, save_pytree
 from eadgan_tpu.train.config import MnistConfig
 from eadgan_tpu.train.gan_mnist import init_mnist_gan_state, make_mnist_gan_step
 from eadgan_tpu.train.state import ModelVars
@@ -96,8 +96,7 @@ def main(argv=None) -> None:
     state = init_mnist_gan_state(
         generator, discriminator, encoder, approx_vars, config, jax.random.PRNGKey(opt.seed)
     )
-    if opt.resume:
-        state = restore_pytree(opt.resume, state)
+    state = maybe_resume(state, opt.resume, opt.ckpt_dir, "mnist_train_state")
     step = make_mnist_gan_step(generator, discriminator, encoder, approximator, config)
     logger = MetricLogger(opt.jsonl or None)
     state_holder = [state]

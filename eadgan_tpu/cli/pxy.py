@@ -15,12 +15,12 @@ import os
 
 import jax
 
-from eadgan_tpu.cli.common import add_adam_args, add_run_args, run_epochs
+from eadgan_tpu.cli.common import add_adam_args, add_run_args, maybe_resume, run_epochs
 from eadgan_tpu.data import load_dsprites
 from eadgan_tpu.models import SpritesEncoderPxy
 from eadgan_tpu.ops import warp_affine
 from eadgan_tpu.sample.figures import pxy_grids
-from eadgan_tpu.train.checkpoint import restore_pytree, save_model, save_pytree
+from eadgan_tpu.train.checkpoint import save_model, save_pytree
 from eadgan_tpu.train.config import PxyConfig
 from eadgan_tpu.train.pretrain import colorize, init_pxy_state, make_pxy_step
 from eadgan_tpu.train.state import apply_model
@@ -92,8 +92,8 @@ def main(argv=None, colored: bool = False) -> None:
         out_dim=config.code_dim, channels=3 if colored else 1
     )
     state = init_pxy_state(encoder, config, jax.random.PRNGKey(opt.seed))
-    if opt.resume:
-        state = restore_pytree(opt.resume, state)
+    stem_state = ("encoder_pxy_color" if colored else "encoder_pxy") + "_train_state"
+    state = maybe_resume(state, opt.resume, opt.ckpt_dir, stem_state)
     step = make_pxy_step(encoder, config)
     sampler = make_sampler(encoder, config, opt.out_dir)
     logger = MetricLogger(opt.jsonl or None)

@@ -18,7 +18,7 @@ import os
 import jax
 import jax.numpy as jnp
 
-from eadgan_tpu.cli.common import add_adam_args, add_run_args, jit_generator_apply, run_epochs
+from eadgan_tpu.cli.common import add_adam_args, add_run_args, jit_generator_apply, maybe_resume, run_epochs
 from eadgan_tpu.data import load_dsprites
 from eadgan_tpu.models import (
     SpritesDiscriminator,
@@ -27,7 +27,7 @@ from eadgan_tpu.models import (
     SpritesGenerator,
 )
 from eadgan_tpu.sample.figures import sprites_training_grids
-from eadgan_tpu.train.checkpoint import restore_pytree, save_model, save_pytree
+from eadgan_tpu.train.checkpoint import save_model, save_pytree
 from eadgan_tpu.train.config import SpritesGanConfig
 from eadgan_tpu.train.gan_dsprites import (
     align_images,
@@ -112,8 +112,7 @@ def main(argv=None, colored: bool = False) -> None:
         generator, discriminator, encoder, pxy_encoder, pxy_vars, config,
         jax.random.PRNGKey(opt.seed),
     )
-    if opt.resume:
-        state = restore_pytree(opt.resume, state)
+    state = maybe_resume(state, opt.resume, opt.ckpt_dir, "rp_train_state")
     step = make_sprites_gan_step(generator, discriminator, encoder, pxy_encoder, config)
     logger = MetricLogger(opt.jsonl or None)
     state_holder = [state]
