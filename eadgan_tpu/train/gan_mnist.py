@@ -65,22 +65,28 @@ def make_mnist_gan_step(generator, discriminator, encoder, approximator, config:
     tx_info = adam(config.lr, config.b1, config.b2)
 
     @jax.jit
-    def step(state: GanTrainState, real_imgs: jnp.ndarray, labels: jnp.ndarray):
+    def step(state: GanTrainState, real_imgs: jnp.ndarray, labels: jnp.ndarray, fixed=None):
         """``real_imgs``: (B, 32, 32, 1) normalized to [-1, 1];
         ``labels``: (B,) int class ids (present for CLI parity; the
         training losses only use freshly sampled labels, as in the
         reference where dataset labels feed nothing but to_categorical
-        at :348)."""
+        at :348).  ``fixed`` (parity tests only) injects the random
+        draws: {"z", "sampled_labels", "code"}."""
         del labels
         batch = real_imgs.shape[0]
         rng, kz, klabel, kcode = jax.random.split(state.rng, 4)
 
-        z = jax.random.normal(kz, (batch, config.latent_dim))
-        sampled_labels = jax.random.randint(klabel, (batch,), 0, config.n_classes)
+        if fixed is not None:
+            z = fixed["z"]
+            sampled_labels = fixed["sampled_labels"]
+            code = fixed["code"]
+        else:
+            z = jax.random.normal(kz, (batch, config.latent_dim))
+            sampled_labels = jax.random.randint(klabel, (batch,), 0, config.n_classes)
+            code = jax.random.uniform(
+                kcode, (batch, config.code_dim), minval=-1.0, maxval=1.0
+            )
         label_input = jax.nn.one_hot(sampled_labels, config.n_classes)
-        code = jax.random.uniform(
-            kcode, (batch, config.code_dim), minval=-1.0, maxval=1.0
-        )
 
         # Warped "real" distribution for D (MNIST/EAD-GAN_rpqmnxy.py:365-367)
         matrix = code_to_matrix(RPQMNXY, code)

@@ -1,0 +1,231 @@
+"""MNIST GAN-step loss parity vs torch: LSGAN adversarial losses,
+G-phase-before-D-phase ordering with a separate G optimizer, the info
+phase through the separate encoder, and the *neural* affine regularizer
+(frozen approximator MLP) — run for several optimization steps from
+identical weights and injected randomness in both stacks.
+"""
+
+import itertools
+import math
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+torch = pytest.importorskip("torch")
+import torch.nn.functional as TF  # noqa: E402
+
+from eadgan_tpu.interop import (  # noqa: E402
+    import_approximator,
+    import_mnist_discriminator,
+    import_mnist_encoder,
+    import_mnist_generator,
+)
+from eadgan_tpu.interop.torch_import import converge_sn_state  # noqa: E402
+from eadgan_tpu.models import (  # noqa: E402
+    AffineApproximator,
+    MnistDiscriminator,
+    MnistEncoder,
+    MnistGenerator,
+)
+from eadgan_tpu.train.config import MnistConfig  # noqa: E402
+from eadgan_tpu.train.gan_mnist import (  # noqa: E402
+    init_mnist_gan_state,
+    make_mnist_gan_step,
+)
+from eadgan_tpu.train.state import ModelVars  # noqa: E402
+
+from tests.test_torch_import import (  # noqa: E402
+    TorchApprox,
+    TorchMnistE,
+    TorchMnistG,
+)
+
+
+class TorchMnistD(torch.nn.Module):
+    def __init__(self):
+        super().__init__()
+        from torch.nn.utils import spectral_norm as SN
+
+        def block(cin, cout):
+            return [SN(torch.nn.Conv2d(cin, cout, 3, 2, 1)), torch.nn.LeakyReLU(0.2)]
+
+        self.conv_blocks = torch.nn.Sequential(
+            *block(1, 16), *block(16, 32), *block(32, 64), *block(64, 128)
+        )
+        self.adv_layer = torch.nn.Sequential(SN(torch.nn.Linear(512, 1)))
+
+    def forward(self, x):
+        h = self.conv_blocks(x).reshape(x.shape[0], -1)
+        return self.adv_layer(h)
+
+
+B = 8
+STEPS = 3
+
+
+def _rpqmnxy_params(code):
+    return torch.stack(
+        [
+            code[:, 0] * math.pi / 9,
+            code[:, 1] * 0.2 + 1,
+            code[:, 2] * 0.2 + 1,
+            code[:, 3] * 0.2,
+            code[:, 4] * 0.2,
+            code[:, 5] * 0.1,
+            code[:, 6] * 0.1,
+        ],
+        1,
+    )
+
+
+def _rpqmnxy_matrix(code):
+    pr = _rpqmnxy_params(code)
+    theta, p, q, m, n, x, y = (pr[:, i] for i in range(7))
+    c, s = torch.cos(theta), torch.sin(theta)
+    a00 = c * p - s * q * n
+    a01 = c * p * m - s * q
+    a10 = s * p + c * q * n
+    a11 = s * p * m + c * q
+    zero, one = torch.zeros_like(p), torch.ones_like(p)
+    r0 = torch.stack([a00, a01, a00 * x + a01 * y], 1)
+    r1 = torch.stack([a10, a11, a10 * x + a11 * y], 1)
+    r2 = torch.stack([zero, zero, one], 1)
+    return torch.stack([r0, r1, r2], 1)
+
+
+def _params_to_code(pr):
+    return torch.stack(
+        [
+            pr[:, 0] / math.pi * 9,
+            (pr[:, 1] - 1) / 0.2,
+            (pr[:, 2] - 1) / 0.2,
+            pr[:, 3] / 0.2,
+            pr[:, 4] / 0.2,
+            pr[:, 5] / 0.1,
+            pr[:, 6] / 0.1,
+        ],
+        1,
+    )
+
+
+def test_mnist_step_losses_match_torch(rng):
+    imgs = rng.uniform(-1, 1, (B, 32, 32, 1)).astype(np.float32)
+    draws = []
+    for _ in range(STEPS):
+        draws.append(
+            (
+                rng.normal(0, 1, (B, 62)).astype(np.float32),
+                rng.integers(0, 10, B),
+                rng.uniform(-1, 1, (B, 7)).astype(np.float32),
+            )
+        )
+
+    # torch models -> flax weights via the importer
+    t_g, t_d, t_e, t_a = TorchMnistG(), TorchMnistD(), TorchMnistE(), TorchApprox()
+    for m, warm in (
+        (t_d, (torch.rand(4, 1, 32, 32),)),
+        (t_e, (torch.rand(4, 1, 32, 32),)),
+    ):
+        m.train()
+        with torch.no_grad():
+            for _ in range(40):
+                m(*warm)
+
+    def sd(m):
+        return {k: v.numpy().copy() for k, v in m.state_dict().items()}
+
+    g_vars = import_mnist_generator(sd(t_g))
+    d_vars = converge_sn_state(
+        MnistDiscriminator(), import_mnist_discriminator(sd(t_d)),
+        jnp.zeros((1, 32, 32, 1)),
+    )
+    e_vars = converge_sn_state(
+        MnistEncoder(), import_mnist_encoder(sd(t_e)), jnp.zeros((1, 32, 32, 1))
+    )
+    a_vars = import_approximator(sd(t_a))
+
+    config = MnistConfig()
+    g, d, e, a = MnistGenerator(), MnistDiscriminator(), MnistEncoder(), AffineApproximator()
+    state = init_mnist_gan_state(g, d, e, a_vars, config, jax.random.PRNGKey(0))
+    state = state.replace(
+        g=ModelVars.create(g_vars),
+        d=ModelVars.create(d_vars),
+        e=ModelVars.create(e_vars),
+    )
+    step = make_mnist_gan_step(g, d, e, a, config)
+
+    ours = []
+    st = state
+    for z, labels, code in draws:
+        fixed = {
+            "z": jnp.asarray(z),
+            "sampled_labels": jnp.asarray(labels),
+            "code": jnp.asarray(code),
+        }
+        st, m = step(st, jnp.asarray(imgs), jnp.zeros((B,), jnp.int32), fixed)
+        ours.append({k: float(v) for k, v in m.items()})
+
+    # torch reference-semantics loop (MNIST/EAD-GAN_rpqmnxy.py:337-446)
+    t_a.eval()
+    opt_g = torch.optim.Adam(t_g.parameters(), lr=1e-4, betas=(0.5, 0.999))
+    opt_d = torch.optim.Adam(t_d.parameters(), lr=2e-4, betas=(0.5, 0.999))
+    opt_info = torch.optim.Adam(
+        itertools.chain(t_g.parameters(), t_e.parameters()), lr=1e-4, betas=(0.5, 0.999)
+    )
+    mse = torch.nn.MSELoss()
+    ce = torch.nn.CrossEntropyLoss()
+    t_img = torch.from_numpy(np.transpose(imgs, (0, 3, 1, 2)))
+
+    t_g.train()
+    t_d.train()
+    t_e.train()
+    theirs = []
+    for z, labels, code in draws:
+        z = torch.from_numpy(z)
+        code = torch.from_numpy(code)
+        onehot = torch.eye(10)[labels]
+        gt = torch.from_numpy(labels.astype(np.int64))
+        valid = torch.ones(B, 1)
+        fake = torch.zeros(B, 1)
+
+        grid = TF.affine_grid(_rpqmnxy_matrix(code)[:, 0:2], t_img.size(), align_corners=False)
+        scaled = TF.grid_sample(t_img, grid, padding_mode="border", align_corners=False)
+
+        gen = t_g(z, onehot, code)
+        g_loss = mse(t_d(gen), valid)
+        opt_g.zero_grad()
+        g_loss.backward()
+        opt_g.step()
+
+        d_loss = (mse(t_d(scaled), valid) + mse(t_d(gen.detach()), fake)) / 2
+        opt_d.zero_grad()
+        d_loss.backward()
+        opt_d.step()
+
+        gen = t_g(z, onehot, code)
+        pl, pc, _ = t_e(gen)
+        info_1 = ce(pl, gt) + 0.1 * mse(pc, code)
+        _, tc, _ = t_e(scaled)
+        _, rc, _ = t_e(t_img)
+        rel = _rpqmnxy_matrix(tc) @ torch.inverse(_rpqmnxy_matrix(rc))
+        flat = torch.cat([rel[:, 0], rel[:, 1]], 1)
+        pred = _params_to_code(t_a(flat))
+        info = info_1 + 0.1 * mse(pred, code)
+        opt_info.zero_grad()
+        info.backward()
+        opt_info.step()
+
+        theirs.append(
+            {"d_loss": float(d_loss), "g_loss": float(g_loss), "info_loss": float(info)}
+        )
+
+    for s, (a_, b_) in enumerate(zip(ours, theirs)):
+        for k in b_:
+            assert np.isfinite(a_[k]) and np.isfinite(b_[k])
+            np.testing.assert_allclose(
+                a_[k], b_[k], rtol=3e-2, atol=5e-3,
+                err_msg=f"step {s} {k}: ours={a_[k]} torch={b_[k]}",
+            )
