@@ -58,16 +58,23 @@ def make_celeba_gan_step(generator, discriminator, config: CelebaConfig):
     tx_info = adam(config.info_lr, config.b1, config.b2)
 
     @jax.jit
-    def step(state: GanTrainState, real_imgs: jnp.ndarray):
-        """``real_imgs``: (B, 64, 64, 3) normalized to [-1, 1]."""
+    def step(state: GanTrainState, real_imgs: jnp.ndarray, fixed=None):
+        """``real_imgs``: (B, 64, 64, 3) normalized to [-1, 1].
+        ``fixed`` (parity tests only) injects the random draws:
+        {"z", "sampled_labels", "code"}."""
         batch = real_imgs.shape[0]
         rng, kz, kcode, klabel = jax.random.split(state.rng, 4)
 
-        z = jax.random.normal(kz, (batch, config.latent_dim))
-        code = jax.random.uniform(
-            kcode, (batch, config.code_dim), minval=-1.0, maxval=1.0
-        )
-        sampled_labels = jax.random.randint(klabel, (batch,), 0, config.n_classes)
+        if fixed is not None:
+            z = fixed["z"]
+            sampled_labels = fixed["sampled_labels"]
+            code = fixed["code"]
+        else:
+            z = jax.random.normal(kz, (batch, config.latent_dim))
+            code = jax.random.uniform(
+                kcode, (batch, config.code_dim), minval=-1.0, maxval=1.0
+            )
+            sampled_labels = jax.random.randint(klabel, (batch,), 0, config.n_classes)
         label_input = jax.nn.one_hot(sampled_labels, config.n_classes)
 
         matrix = code_to_matrix(RPQXY, code[:, :5])
