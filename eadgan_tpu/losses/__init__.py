@@ -26,7 +26,7 @@ __all__ = [
     "mutual_info_loss",
 ]
 
-_BCE_LOG_CLAMP = -100.0  # torch BCELoss clamps log terms at -100
+_BCE_EPS = 1.1920929e-07  # f32 machine epsilon
 
 
 def mse_loss(pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
@@ -35,10 +35,20 @@ def mse_loss(pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
 
 
 def bce_loss(pred_prob: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
-    """torch.nn.BCELoss on probabilities, with torch's -100 log clamp."""
-    log_p = jnp.maximum(jnp.log(pred_prob), _BCE_LOG_CLAMP)
-    log_1p = jnp.maximum(jnp.log1p(-pred_prob), _BCE_LOG_CLAMP)
-    return -jnp.mean(target * log_p + (1.0 - target) * log_1p)
+    """torch.nn.BCELoss on probabilities.
+
+    Probabilities are clipped into [eps, 1-eps] before the logs.  A
+    clamp on the log value alone (torch clamps at -100) is NOT enough
+    under jax autodiff: when a sigmoid saturates to exactly 0/1 the
+    unselected log branch is -inf and the masked gradient evaluates
+    0 * inf = NaN, killing the run (observed in a colored GAN soak at
+    step 644 — torch survives because BCELoss guards its *backward*
+    with an eps denominator).  Clipping matches torch's values
+    everywhere p >= eps and bounds the gradient at 1/eps, mirroring
+    torch's guarded backward.
+    """
+    p = jnp.clip(pred_prob, _BCE_EPS, 1.0 - _BCE_EPS)
+    return -jnp.mean(target * jnp.log(p) + (1.0 - target) * jnp.log1p(-p))
 
 
 def torch_cross_entropy(x: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:

@@ -59,7 +59,20 @@ def apply_color(img: jnp.ndarray, gain: jnp.ndarray) -> jnp.ndarray:
     return img * gain[:, None, None, :]
 
 
+_GAIN_FLOOR = 1e-2
+
+
 def remove_color(img: jnp.ndarray, gain: jnp.ndarray) -> jnp.ndarray:
     """Divide an NHWC image batch by per-channel gains (B, C) — the
-    alignment step (colored_dSprites/rp_color.py:390-394)."""
-    return img / gain[:, None, None, :]
+    alignment step (colored_dSprites/rp_color.py:390-394).
+
+    Gains come from *predicted* codes during GAN training and can cross
+    zero (the reference then feeds exploding/NaN images into D and the
+    whole run dies — observed at ~step 650 of a colored soak).  The
+    magnitude is floored at 1e-2, inactive in the normal gain regime
+    (~[0.4, 1.6]) and bounding the aligned image scale at 100x in the
+    degenerate one.
+    """
+    g = gain[:, None, None, :]
+    g = jnp.where(jnp.abs(g) < _GAIN_FLOOR, jnp.where(g < 0, -_GAIN_FLOOR, _GAIN_FLOOR), g)
+    return img / g

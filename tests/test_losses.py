@@ -23,11 +23,23 @@ def test_bce_matches_torch(rng):
     np.testing.assert_allclose(float(bce_loss(jnp.asarray(p), jnp.asarray(t))), expected, rtol=1e-5)
 
 
-def test_bce_extreme_probs_finite():
-    p = jnp.asarray([[0.0], [1.0]])
-    t = jnp.asarray([[1.0], [0.0]])
+def test_bce_extreme_probs_finite_values_and_grads():
+    """Exactly-saturated sigmoids must give finite loss AND finite
+    gradients (the masked-log formulation NaN'd a GAN soak)."""
+    import jax
+
+    p = jnp.asarray([[0.0], [1.0], [0.5]])
+    t = jnp.asarray([[1.0], [0.0], [1.0]])
     out = float(bce_loss(p, t))
-    assert np.isfinite(out) and out == 100.0  # torch clamp at -100
+    assert np.isfinite(out)
+
+    g = jax.grad(lambda q: bce_loss(q, t))(p)
+    assert np.all(np.isfinite(np.asarray(g)))
+
+    # and through a saturating sigmoid, as in the GAN steps
+    logits = jnp.asarray([[-200.0], [200.0], [0.0]])
+    g2 = jax.grad(lambda l: bce_loss(jax.nn.sigmoid(l), t))(logits)
+    assert np.all(np.isfinite(np.asarray(g2)))
 
 
 def test_cross_entropy_matches_torch_on_softmax_input(rng):

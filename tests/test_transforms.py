@@ -192,3 +192,21 @@ def test_recovery_stays_finite_on_degenerate_codes(rng):
     zero_gain_code = np.full((4, 3), -2.0, np.float32)  # gain = -2*0.5+1 = 0
     rel = regularize_color(jnp.asarray(zero_gain_code), jnp.ones((4, 3)), 0.5)
     assert np.all(np.isfinite(np.asarray(rel)))
+
+
+def test_remove_color_survives_zero_gain(rng):
+    """Predicted align gains can cross zero mid-training; the aligned
+    image must stay finite and bounded (the unguarded division killed a
+    colored GAN soak at ~step 650)."""
+    img = jnp.asarray(rng.uniform(0, 1, (2, 4, 4, 3)).astype(np.float32))
+    zero_gain = jnp.zeros((2, 3))
+    out = remove_color(img, zero_gain)
+    assert np.all(np.isfinite(np.asarray(out)))
+    assert np.abs(np.asarray(out)).max() <= 100.0 + 1e-3
+    # normal regime untouched
+    gain = jnp.asarray(rng.uniform(0.5, 1.5, (2, 3)).astype(np.float32))
+    np.testing.assert_allclose(
+        np.asarray(remove_color(img, gain)),
+        np.asarray(img) / np.asarray(gain)[:, None, None, :],
+        rtol=1e-6,
+    )
