@@ -55,10 +55,14 @@ def main(argv=None) -> None:
         channels=opt.channels,
         sample_interval=opt.sample_interval,
     )
+    # Flips are NOT baked into the archive: they are re-drawn per batch
+    # inside run_epochs (random_flip=True below), matching the reference
+    # per-fetch RandomHorizontalFlip (celebA/EAD-GAN_celebA.py:199).
     images = load_image_folder(
         os.path.join(opt.data_dir, "data"),
         config.img_size,
         max_images=opt.max_images or None,
+        flip=False,
         seed=opt.seed,
     )
 
@@ -132,6 +136,7 @@ def main(argv=None) -> None:
         metric_keys=["d_loss", "g_loss"],
         scale=1.0 / 127.5,
         shift=-1.0,
+        random_flip=True,
     )
 
 

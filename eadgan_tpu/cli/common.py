@@ -91,6 +91,7 @@ def run_epochs(
     metric_keys: Optional[Iterable[str]] = None,
     scale: float = 1.0,
     shift: float = 0.0,
+    random_flip: bool = False,
     data_parallel: bool = False,
     profile_dir: str = "",
 ):
@@ -113,7 +114,8 @@ def run_epochs(
                 n_epochs=n_epochs, data=data, labels=labels, batch_size=batch_size,
                 state=state, step_fn=step_fn, on_batch=on_batch, seed=seed,
                 max_steps=max_steps, logger=logger, metric_keys=metric_keys,
-                scale=scale, shift=shift, data_parallel=data_parallel,
+                scale=scale, shift=shift, random_flip=random_flip,
+                data_parallel=data_parallel,
             )
     finally:
         if logger is not None:
@@ -122,9 +124,14 @@ def run_epochs(
 
 def _run_epochs_inner(
     *, n_epochs, data, labels, batch_size, state, step_fn, on_batch,
-    seed, max_steps, logger, metric_keys, scale, shift, data_parallel,
+    seed, max_steps, logger, metric_keys, scale, shift, random_flip,
+    data_parallel,
 ):
     host_rng = np.random.default_rng(seed)
+    # Dedicated stream for per-batch flip draws: ``place`` runs in the
+    # prefetch thread, so it must not share ``host_rng`` with the
+    # epoch-permutation draws on the main thread.
+    flip_rng = np.random.default_rng([seed, 0x464C4950])
     n_batches = data.shape[0] // batch_size
     start_step = int(jax.device_get(state.step))
     batches_done = start_step
@@ -138,11 +145,25 @@ def _run_epochs_inner(
         device_put = lambda b: shard_batch(mesh, b)  # noqa: E731
 
     use_native = data.dtype == np.uint8 and labels is None
+    if random_flip and not use_native:
+        raise ValueError("random_flip requires the uint8 label-free ingest path")
     if use_native:
-        from eadgan_tpu.data.native import gather_normalize
+        from eadgan_tpu.data.native import gather_normalize, gather_normalize_flip
 
-        def place(idx):
-            return device_put(gather_normalize(data, idx, scale, shift))
+        if random_flip:
+
+            def place(idx):
+                # re-drawn every batch fetch (reference torchvision
+                # RandomHorizontalFlip, celebA/EAD-GAN_celebA.py:199)
+                mask = flip_rng.random(len(idx)) < 0.5
+                return device_put(
+                    gather_normalize_flip(data, idx, mask, scale, shift)
+                )
+
+        else:
+
+            def place(idx):
+                return device_put(gather_normalize(data, idx, scale, shift))
 
     for epoch in range(start_step // max(n_batches, 1), n_epochs):
         if use_native:

@@ -2,10 +2,13 @@
 
 Parity with the reference pipeline (celebA/EAD-GAN_celebA.py:194-206):
 Resize(64) on the shorter side, CenterCrop(64), RandomHorizontalFlip,
-normalize to [-1, 1].  Decoding uses PIL on the host; the random flip is
-applied on device inside the training loop's batch placement (cheap
-``jnp.flip`` under the step's PRNG) or here on the host for simplicity.
-Synthesizes face-like color gradients when no images exist.
+normalize to [-1, 1].  Decoding uses PIL on the host.  The random flip
+belongs to the *per-batch fetch* (the reference's torchvision transform
+re-draws it on every ``__getitem__``), so the training CLI keeps the
+archive unflipped here and applies a re-drawn mask per batch in the
+native gather path (``gather_normalize_flip``); the static ``flip``
+option below survives for one-shot consumers.  Synthesizes face-like
+color gradients when no images exist.
 """
 
 from __future__ import annotations
@@ -66,10 +69,12 @@ def load_image_folder(
     seed: int = 0,
     allow_synthetic: bool = True,
 ) -> np.ndarray:
-    """Returns (N, 64, 64, 3) uint8 with random horizontal flips applied
-    (one static flip draw per image per load, matching the reference's
-    per-epoch flip in expectation).  Normalization to [-1, 1] happens
-    per batch in the native gather path (scale=1/127.5, shift=-1)."""
+    """Returns (N, 64, 64, 3) uint8.  ``flip=True`` applies one static
+    flip draw per image at load time — use only for one-shot consumers;
+    training passes ``flip=False`` and re-draws flips per batch via
+    ``run_epochs(random_flip=True)`` like the reference transform.
+    Normalization to [-1, 1] happens per batch in the native gather path
+    (scale=1/127.5, shift=-1)."""
     paths = _list_images(root) if os.path.isdir(root) else []
     if max_images:
         paths = paths[:max_images]

@@ -15,7 +15,12 @@ from typing import Optional
 
 import numpy as np
 
-__all__ = ["native_available", "gather_normalize", "gather_colorize"]
+__all__ = [
+    "native_available",
+    "gather_normalize",
+    "gather_normalize_flip",
+    "gather_colorize",
+]
 
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 _SRC = os.path.join(_REPO_ROOT, "native", "batcher.cpp")
@@ -50,6 +55,12 @@ def _load() -> Optional[ctypes.CDLL]:
                 lib.eadgan_gather_norm_u8.argtypes = [
                     ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
                     ctypes.c_int64, ctypes.c_float, ctypes.c_float,
+                    ctypes.c_void_p, ctypes.c_int,
+                ]
+                lib.eadgan_gather_norm_flip_u8.argtypes = [
+                    ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+                    ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+                    ctypes.c_float, ctypes.c_float, ctypes.c_void_p,
                     ctypes.c_void_p, ctypes.c_int,
                 ]
                 lib.eadgan_gather_colorize_u8.argtypes = [
@@ -89,6 +100,44 @@ def gather_normalize(
         src_u8.ctypes.data, idx.ctypes.data, len(idx), row_elems,
         ctypes.c_float(scale), ctypes.c_float(shift), dst.ctypes.data,
         n_threads,
+    )
+    return dst.reshape(out_shape)
+
+
+def gather_normalize_flip(
+    src_u8: np.ndarray,
+    idx: np.ndarray,
+    flip: np.ndarray,
+    scale: float = 1.0,
+    shift: float = 0.0,
+    n_threads: int = 8,
+) -> np.ndarray:
+    """``gather_normalize`` with a fused per-row horizontal mirror.
+
+    ``flip`` is a (B,) bool/uint8 mask; rows where it is truthy are
+    mirrored along the width axis — torchvision ``RandomHorizontalFlip``
+    re-drawn per batch like the reference transform pipeline
+    (celebA/EAD-GAN_celebA.py:199), instead of one static draw per image
+    at load time.  ``src_u8`` is (N, H, W) or (N, H, W, C); 2-D rows gain
+    a trailing channel axis like ``gather_normalize``.
+    """
+    lib = _load()
+    idx = np.ascontiguousarray(idx, np.int64)
+    flip = np.ascontiguousarray(flip, np.uint8)
+    row_shape = src_u8.shape[1:]
+    h, w = row_shape[0], row_shape[1]
+    c = row_shape[2] if len(row_shape) == 3 else 1
+    out_shape = (len(idx),) + row_shape + ((1,) if len(row_shape) == 2 else ())
+    if lib is None or src_u8.dtype != np.uint8 or not src_u8.flags.c_contiguous:
+        out = src_u8[idx].astype(np.float32) * scale + shift
+        mask = flip.astype(bool)
+        out[mask] = out[mask, :, ::-1]
+        return out.reshape(out_shape)
+    dst = np.empty((len(idx), h * w * c), np.float32)
+    lib.eadgan_gather_norm_flip_u8(
+        src_u8.ctypes.data, idx.ctypes.data, len(idx), h, w, c,
+        ctypes.c_float(scale), ctypes.c_float(shift), flip.ctypes.data,
+        dst.ctypes.data, n_threads,
     )
     return dst.reshape(out_shape)
 

@@ -31,6 +31,38 @@ void gather_rows_worker(const uint8_t* src, const int64_t* idx,
   }
 }
 
+void gather_rows_flip_worker(const uint8_t* src, const int64_t* idx,
+                             int64_t h, int64_t w, int64_t c, float scale,
+                             float shift, const uint8_t* flip, float* dst,
+                             int64_t row_begin, int64_t row_end) {
+  // Per-row optional horizontal mirror fused into the gather+normalize
+  // pass (torchvision RandomHorizontalFlip parity: the reference re-draws
+  // the flip on every batch fetch, celebA/EAD-GAN_celebA.py:199, so the
+  // mask must arrive per batch, not be baked into the archive).
+  const int64_t row_elems = h * w * c;
+  for (int64_t r = row_begin; r < row_end; ++r) {
+    const uint8_t* in = src + idx[r] * row_elems;
+    float* out = dst + r * row_elems;
+    if (!flip[r]) {
+      for (int64_t e = 0; e < row_elems; ++e) {
+        out[e] = static_cast<float>(in[e]) * scale + shift;
+      }
+      continue;
+    }
+    for (int64_t y = 0; y < h; ++y) {
+      const uint8_t* in_row = in + y * w * c;
+      float* out_row = out + y * w * c;
+      for (int64_t x = 0; x < w; ++x) {
+        const uint8_t* ip = in_row + (w - 1 - x) * c;
+        float* op = out_row + x * c;
+        for (int64_t ch = 0; ch < c; ++ch) {
+          op[ch] = static_cast<float>(ip[ch]) * scale + shift;
+        }
+      }
+    }
+  }
+}
+
 void gather_tile3_worker(const uint8_t* src, const int64_t* idx,
                          int64_t row_elems, const float* gains, float scale,
                          float shift, float* dst, int64_t row_begin,
@@ -78,6 +110,18 @@ void eadgan_gather_norm_u8(const uint8_t* src, const int64_t* idx,
                            float shift, float* dst, int n_threads) {
   parallel_rows(n_rows, n_threads, [=](int64_t b, int64_t e) {
     gather_rows_worker(src, idx, row_elems, scale, shift, dst, b, e);
+  });
+}
+
+// dst[r] = maybe-mirrored src[idx[r]] * scale + shift; flip is a
+// per-row uint8 mask (1 = mirror the width axis)
+void eadgan_gather_norm_flip_u8(const uint8_t* src, const int64_t* idx,
+                                int64_t n_rows, int64_t h, int64_t w,
+                                int64_t c, float scale, float shift,
+                                const uint8_t* flip, float* dst,
+                                int n_threads) {
+  parallel_rows(n_rows, n_threads, [=](int64_t b, int64_t e) {
+    gather_rows_flip_worker(src, idx, h, w, c, scale, shift, flip, dst, b, e);
   });
 }
 

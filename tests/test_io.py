@@ -125,6 +125,39 @@ def test_latest_step(tmp_path):
     assert latest_step(str(tmp_path), "nothing") == -1
 
 
+def test_run_epochs_redraws_flips_per_batch():
+    """random_flip=True must re-draw the horizontal flip on every batch
+    fetch (reference torchvision RandomHorizontalFlip semantics,
+    celebA/EAD-GAN_celebA.py:199) — the same image must appear in both
+    orientations across epochs, unlike a static per-image load-time draw."""
+    from eadgan_tpu.cli.common import run_epochs
+
+    n, size = 16, 8
+    data = np.zeros((n, size, size, 3), np.uint8)
+    data[:, :, 0, :] = 255  # left column bright: orientation is observable
+
+    seen = []  # list of (epoch-less) per-image flip booleans, in fetch order
+
+    class S:
+        step = jnp.asarray(0)
+
+    def step_fn(state, batch):
+        batch = np.asarray(batch)
+        flipped = batch[:, 0, -1, 0] > 0  # bright column moved to the right
+        seen.append(flipped)
+        return state, {}
+
+    run_epochs(
+        n_epochs=6, data=data, labels=None, batch_size=n, state=S(),
+        step_fn=step_fn, on_batch=lambda *a: None, seed=0,
+        scale=1 / 127.5, shift=-1.0, random_flip=True,
+    )
+    flips = np.stack(seen)  # (6 epochs, n images) — batch == whole dataset
+    assert flips.any() and not flips.all()  # both orientations occur
+    # a static draw would make every epoch row identical
+    assert any(not np.array_equal(flips[0], flips[e]) for e in range(1, 6))
+
+
 def test_mnist_resize_matches_pil(rng):
     """The 28->32 bilinear upscale must match PIL (what torchvision's
     Resize used in the reference's era) to ~1 gray level."""

@@ -3,7 +3,12 @@ bit-for-bit for both entry points."""
 
 import numpy as np
 
-from eadgan_tpu.data.native import gather_colorize, gather_normalize, native_available
+from eadgan_tpu.data.native import (
+    gather_colorize,
+    gather_normalize,
+    gather_normalize_flip,
+    native_available,
+)
 
 
 def _ref_normalize(src, idx, scale, shift):
@@ -27,6 +32,27 @@ def test_gather_colorize_matches_numpy(rng):
     ref = src[idx].astype(np.float32)[..., None] * gains[:, None, None, :]
     np.testing.assert_allclose(out, ref, rtol=1e-6)
     assert out.shape == (32, 16, 16, 3)
+
+
+def test_gather_normalize_flip_matches_numpy(rng):
+    """Flip path: mirrored rows flip the width axis only, unflipped rows
+    match the plain gather bit-for-bit — for both (N,H,W) and (N,H,W,C)."""
+    for shape in [(200, 12, 16), (200, 12, 16, 3)]:
+        src = rng.integers(0, 256, shape, dtype=np.uint8)
+        idx = rng.integers(0, 200, 48)
+        mask = rng.random(48) < 0.5
+        out = gather_normalize_flip(src, idx, mask, 1 / 127.5, -1.0)
+        ref = _ref_normalize(src, idx, 1 / 127.5, -1.0)
+        ref[mask] = ref[mask, :, ::-1]
+        np.testing.assert_array_equal(out, ref)
+        assert out.shape == (48, 12, 16) + (shape[3:] or (1,))
+
+
+def test_gather_normalize_flip_all_unflipped_equals_plain(rng):
+    src = rng.integers(0, 256, (100, 8, 8, 3), dtype=np.uint8)
+    idx = rng.integers(0, 100, 32)
+    out = gather_normalize_flip(src, idx, np.zeros(32, bool), 2.0, -3.0)
+    np.testing.assert_array_equal(out, gather_normalize(src, idx, 2.0, -3.0))
 
 
 def test_fallback_path_on_non_uint8(rng):
