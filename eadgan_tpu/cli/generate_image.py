@@ -40,8 +40,9 @@ def main(argv=None) -> None:
 
     @jax.jit
     def fwd(z, label, code):
-        out, _ = model.apply(mv.as_variables(), z, label, code, mutable=["batch_stats"])
-        return out
+        # train=False: running-stat BN, matching the reference's
+        # generator.eval() before rendering (MNIST/generate_image.py:154)
+        return model.apply(mv.as_variables(), z, label, code, train=False)
 
     def apply_g(z, label, code):
         return np.asarray(fwd(jnp.asarray(z), jnp.asarray(label), jnp.asarray(code)))

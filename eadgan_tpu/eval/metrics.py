@@ -86,13 +86,22 @@ def _discrete_mi(mus: np.ndarray, ys: np.ndarray) -> np.ndarray:
 
 
 def mig_score(
-    imgs, latents_values, representer, num_points: int = 1000, rng=None, num_bins: int = 20
+    imgs,
+    latents_values,
+    representer,
+    num_points: int = 1000,
+    rng=None,
+    num_bins: int = 20,
+    idx=None,
 ) -> Dict:
     """Mutual Information Gap (dSprites/score/MIG.py:310-329): gap of the
     top-2 code-factor MIs over the factor entropy, on ``num_points``
-    random samples with 20-bin discretized codes."""
-    rng = rng or np.random.default_rng(0)
-    idx = rng.integers(0, imgs.shape[0], num_points)
+    random samples with 20-bin discretized codes.  ``idx`` overrides the
+    sample indices (parity harnesses replicating the reference's
+    per-16-batch draw order)."""
+    if idx is None:
+        rng = rng or np.random.default_rng(0)
+        idx = rng.integers(0, imgs.shape[0], num_points)
     mus = representer(imgs[idx]).T  # (codes, points)
     ys = latents_values[idx].T  # (factors, points)
 

@@ -68,7 +68,11 @@ class Representer:
         self._represent = represent
 
     def _prepare(self, imgs: np.ndarray) -> np.ndarray:
-        """uint8 (B, 64, 64) -> float NHWC, colorized if colored."""
+        """uint8 (B, 64, 64) -> float NHWC, colorized if colored.
+        Already-3-channel input passes through unchanged (pre-colorized
+        by a caller replicating the reference's exact color draws)."""
+        if imgs.ndim == 4 and imgs.shape[-1] == 3:
+            return np.ascontiguousarray(imgs, np.float32)
         x = imgs.astype(np.float32)[..., None]
         if self.colored:
             color = self._rng.uniform(0.5, 1.0, (x.shape[0], 1, 1, 3)).astype(

@@ -32,13 +32,13 @@ class CelebaGenerator(nn.Module):
 
     @nn.compact
     def __call__(self, noise, labels, code, train: bool = True):
-        del train
+        # train=False -> running-stat BN like torch .eval() (gen_imgs.py)
         x = jnp.concatenate([noise, labels, code], axis=-1)
         x = x[:, None, None, :]  # (B, 1, 1, in_dim) NHWC
         x = TorchConvTranspose(1024, 4, 1, 0, dtype=self.dtype)(x)
         for feats in (512, 256, 128):
             x = TorchConvTranspose(feats, 4, 2, 1, dtype=self.dtype)(x)
-            x = TorchBatchNorm()(x)
+            x = TorchBatchNorm()(x, use_running_average=not train)
             x = nn.relu(x)
         x = TorchConvTranspose(self.channels, 4, 2, 1, dtype=self.dtype)(x)
         return jnp.tanh(x).astype(jnp.float32)

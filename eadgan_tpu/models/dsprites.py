@@ -59,14 +59,15 @@ class SpritesGenerator(nn.Module):
 
     @nn.compact
     def __call__(self, z_c, train: bool = True):
-        del train
+        # train=False -> running-stat BN like torch .eval() (the
+        # reference trains with batch stats but inference scripts eval)
         x = nn.relu(TorchDense(128, dtype=self.dtype)(z_c))
         x = nn.relu(TorchDense(64 * 4 * 4, dtype=self.dtype)(x))
         x = x.reshape(x.shape[0], 64, 4, 4)
         x = jnp.transpose(x, (0, 2, 3, 1))  # NCHW view parity -> NHWC
         for _ in range(3):
             x = TorchConvTranspose(64, 4, 2, 1, dtype=self.dtype)(x)
-            x = TorchBatchNorm()(x)
+            x = TorchBatchNorm()(x, use_running_average=not train)
             x = nn.relu(x)
         x = TorchConvTranspose(self.channels, 4, 2, 1, dtype=self.dtype)(x)
         return nn.sigmoid(x).astype(jnp.float32)

@@ -186,6 +186,11 @@ class TorchBatchNorm(nn.Module):
     the reference's ``nn.BatchNorm2d(ch, 0.8)`` sets *eps* positionally
     (almost certainly intending momentum; the quirk is preserved because
     it changes normalization magnitudes, MNIST/EAD-GAN_rpqmnxy.py:83-87,145).
+
+    ``use_running_average=True`` reproduces torch ``.eval()`` semantics —
+    the reference never evals during *training*, but its inference
+    scripts do (MNIST/generate_image.py:154, celebA/gen_imgs.py:114), so
+    generators expose it via their ``train`` flag.
     """
 
     eps: float = 1e-5
@@ -193,7 +198,7 @@ class TorchBatchNorm(nn.Module):
     use_normal_init: bool = False
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, use_running_average: bool = False):
         scale_init = normal_init(1.0, 0.02) if self.use_normal_init else nn.initializers.ones
         # Batch statistics always in float32 — under the bf16 fast path
         # the conv outputs arrive in bf16, but variance estimation at
@@ -203,7 +208,7 @@ class TorchBatchNorm(nn.Module):
             momentum=self.momentum,
             epsilon=self.eps,
             scale_init=scale_init,
-        )(x.astype(jnp.float32), use_running_average=False)
+        )(x.astype(jnp.float32), use_running_average=use_running_average)
         return out.astype(in_dtype)
 
 

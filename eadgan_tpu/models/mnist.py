@@ -42,21 +42,23 @@ class MnistGenerator(nn.Module):
 
     @nn.compact
     def __call__(self, noise, labels, code, train: bool = True):
-        del train  # BN always uses batch stats (reference never calls eval())
+        # train=True: batch-stats BN (reference training never evals);
+        # train=False: running stats like generate_image.py's .eval()
+        ra = not train
         x = jnp.concatenate([noise, labels, code], axis=-1)
         init_size = self.img_size // 4
         x = TorchDense(128 * init_size * init_size)(x)
         x = x.reshape(x.shape[0], 128, init_size, init_size)
         x = jnp.transpose(x, (0, 2, 3, 1))  # NCHW view parity -> NHWC
 
-        x = TorchBatchNorm(use_normal_init=True)(x)
+        x = TorchBatchNorm(use_normal_init=True)(x, use_running_average=ra)
         x = upsample_nearest(x)
         x = TorchConv(128, 3, 1, 1, use_normal_init=True)(x)
-        x = TorchBatchNorm(eps=0.8, use_normal_init=True)(x)
+        x = TorchBatchNorm(eps=0.8, use_normal_init=True)(x, use_running_average=ra)
         x = nn.leaky_relu(x, 0.2)
         x = upsample_nearest(x)
         x = TorchConv(64, 3, 1, 1, use_normal_init=True)(x)
-        x = TorchBatchNorm(eps=0.8, use_normal_init=True)(x)
+        x = TorchBatchNorm(eps=0.8, use_normal_init=True)(x, use_running_average=ra)
         x = nn.leaky_relu(x, 0.2)
         x = TorchConv(self.channels, 3, 1, 1, use_normal_init=True)(x)
         return jnp.tanh(x)

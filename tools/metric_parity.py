@@ -1,0 +1,585 @@
+#!/usr/bin/env python
+"""Metric-number parity harness: our six disentanglement metrics vs the
+ACTUAL reference score scripts, executed on identical weights and
+identical sampled data.
+
+What it does, per variant (gray / colored):
+
+1. Builds a small dSprites-format npz (real metadata layout:
+   ``latents_sizes``, ``latents_possible_values``, ``latents_values``)
+   so the reference's unmodified ``load_data`` path runs end to end.
+2. Random-inits the reference ``Encoder_pxy`` + ``Encoder`` in torch
+   (exact architectures from dSprites/score/BetVAE.py:91-172), warms the
+   spectral-norm power iteration, and saves the state_dicts under the
+   reference checkpoint names.
+3. Stages patched copies of ``/root/reference/*/score/*.py`` in a /tmp
+   sandbox (patches: strip unused torchvision imports, drop ``.cuda()``,
+   seed ``np.random`` before the module-level ``load_data()`` call, dump
+   the returned score dict as one ``PARITY_RESULT`` JSON line) and runs
+   them with the image's torch CPU.
+4. Imports the same state_dicts through
+   :mod:`eadgan_tpu.interop.torch_import`, reconstructs the reference's
+   exact sampled metric data by replicating its legacy ``np.random``
+   call sequence (groups -> eval split -> SAP sample -> per-script color
+   draws -> MIG per-16-batch indices), and runs OUR metric functions.
+5. Compares every scalar: PASS iff |ours - ref| <= max(atol, rtol*|ref|)
+   with atol=rtol=0.01 (the BASELINE.md "BetaVAE within 1%" bar, applied
+   to all six metrics).
+
+Usage:
+    python tools/metric_parity.py [--variant gray|colored|both]
+        [--out METRIC_PARITY.json] [--seed 1234] [--keep-sandbox]
+
+Only the harness itself lives in the repo; reference code is copied and
+patched in /tmp at runtime and never committed.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import re
+import shutil
+import subprocess
+import sys
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+REFERENCE = "/root/reference"
+NPZ_NAME = "dsprites_ndarray_co1sh3sc6or40x32y32_64x64.npz"
+METRIC_SCRIPTS = ["BetVAE", "FactorVAE", "MIG", "SAP", "DCI", "F_score"]
+
+sys.path.insert(0, REPO)
+
+
+# ---------------------------------------------------------------------------
+# 1. dataset: a small archive in the exact reference npz format
+# ---------------------------------------------------------------------------
+
+
+def build_npz(path: str, sizes=(1, 3, 6, 8, 8, 8)) -> None:
+    """Write a dSprites-format npz (imgs/latents_values/latents_classes/
+    metadata) over a reduced factor grid, renderable without the real
+    archive.  Metadata mirrors the real file's keys so the reference
+    SAP/DCI/F_score ``latents_possible_values`` lookups and asserts
+    (dSprites/score/SAP.py:81-103) hold."""
+    from eadgan_tpu.data.dsprites import _render_sprite
+
+    sizes = np.asarray(sizes, np.int64)
+    names = ("color", "shape", "scale", "orientation", "posX", "posY")
+    possible = {
+        "color": np.array([1.0]),
+        "shape": np.array([1.0, 2.0, 3.0]),
+        "scale": np.linspace(0.5, 1.0, sizes[2]),
+        "orientation": np.linspace(0.0, 2 * np.pi, sizes[3]),
+        "posX": np.linspace(0.0, 1.0, sizes[4]),
+        "posY": np.linspace(0.0, 1.0, sizes[5]),
+    }
+    total = int(np.prod(sizes))
+    imgs = np.zeros((total, 64, 64), np.uint8)
+    values = np.zeros((total, 6), np.float64)
+    classes = np.zeros((total, 6), np.int64)
+    i = 0
+    for sh in range(sizes[1]):
+        for sc in range(sizes[2]):
+            for an in range(sizes[3]):
+                for x in range(sizes[4]):
+                    for y in range(sizes[5]):
+                        scale01 = sc / max(sizes[2] - 1, 1)
+                        angle = float(possible["orientation"][an])
+                        px = 0.25 + 0.5 * float(possible["posX"][x])
+                        py = 0.25 + 0.5 * float(possible["posY"][y])
+                        imgs[i] = _render_sprite(sh, scale01, angle, px, py)
+                        values[i] = (
+                            1.0, sh + 1, possible["scale"][sc], angle,
+                            possible["posX"][x], possible["posY"][y],
+                        )
+                        classes[i] = (0, sh, sc, an, x, y)
+                        i += 1
+    metadata = {
+        "latents_names": names,
+        "latents_sizes": sizes,
+        "latents_possible_values": possible,
+    }
+    np.savez(
+        path, imgs=imgs, latents_values=values, latents_classes=classes,
+        metadata=metadata,
+    )
+
+
+# ---------------------------------------------------------------------------
+# 2. torch encoders (reference architectures, random init)
+# ---------------------------------------------------------------------------
+
+
+def build_torch_encoders(colored: bool, seed: int, out_dir: str):
+    """Reference Encoder_pxy (dSprites/score/BetVAE.py:138-172) and
+    Encoder (:91-133), random-init, SN power iteration warmed, saved
+    under the reference checkpoint names."""
+    import torch
+    import torch.nn as nn
+    from torch.nn.utils import spectral_norm as SN
+
+    ch = 3 if colored else 1
+    pxy_out = 6 if colored else 3
+    code_dim = 7 if colored else 4
+
+    class EncoderPxy(nn.Module):
+        def __init__(self):
+            super().__init__()
+            chans = [ch, 32, 32, 64, 64]
+            self.conv_block = nn.Sequential(
+                *[
+                    layer
+                    for i in range(4)
+                    for layer in (
+                        nn.Conv2d(chans[i], chans[i + 1], 4, 2, 1),
+                        nn.LeakyReLU(0.1, inplace=True),
+                    )
+                ]
+            )
+            self.fc1 = nn.Linear(1024, pxy_out)
+
+        def forward(self, x):
+            h = self.conv_block(x)
+            return self.fc1(h.view(h.shape[0], -1))
+
+    class Encoder(nn.Module):
+        def __init__(self):
+            super().__init__()
+            chans = [ch, 32, 32, 64, 64]
+            self.conv_block = nn.Sequential(
+                *[
+                    layer
+                    for i in range(4)
+                    for layer in (
+                        SN(nn.Conv2d(chans[i], chans[i + 1], 4, 2, 1)),
+                        nn.LeakyReLU(0.2, inplace=True),
+                    )
+                ]
+            )
+            self.fc1 = nn.Sequential(SN(nn.Linear(1024, 128)), nn.LeakyReLU(0.2, inplace=True))
+            self.fc2 = nn.Sequential(SN(nn.Linear(128, 128)), nn.LeakyReLU(0.2, inplace=True))
+            self.cat_layer = nn.Sequential(SN(nn.Linear(128, 3)), nn.Softmax(dim=1))
+            self.cont_layer = nn.Sequential(SN(nn.Linear(128, code_dim)))
+
+        def forward(self, x):
+            h = self.conv_block(x).view(x.shape[0], -1)
+            h = self.fc2(self.fc1(h))
+            return self.cat_layer(h), self.cont_layer(h)
+
+    torch.manual_seed(seed)
+    pxy, cat = EncoderPxy(), Encoder()
+
+    # Briefly shape both encoders on the sandbox archive so no output is
+    # degenerate: a random-init cat head predicts ONE class for every
+    # image, whose constant argmax column NaNs the reference DCI's
+    # normalize-by-std (the reference itself crashes there; our dci_score
+    # guards it) and poisons FactorVAE's eval-std normalizer.  The
+    # shaping targets are arbitrary — parity only needs identical,
+    # non-degenerate weights on both sides.
+    z = np.load(os.path.join(out_dir, "..", NPZ_NAME), allow_pickle=True,
+                encoding="latin1")
+    imgs = z["imgs"]
+    classes = z["latents_classes"]
+    sizes = z["metadata"][()]["latents_sizes"]
+    rng = np.random.default_rng(seed)
+    opt = torch.optim.Adam(list(pxy.parameters()) + list(cat.parameters()), lr=1e-3)
+    ce = torch.nn.CrossEntropyLoss()
+    pxy.train()
+    cat.train()
+    for _ in range(150):
+        idx = rng.integers(0, imgs.shape[0], 64)
+        x = torch.from_numpy(imgs[idx][:, None].astype(np.float32))
+        if colored:
+            gains = torch.from_numpy(
+                rng.uniform(0.5, 1, (64, 3, 1, 1)).astype(np.float32)
+            )
+            x = x * gains
+        shape_t = torch.from_numpy(classes[idx, 1])
+        cont_t = torch.from_numpy(
+            (classes[idx, 2:6] / (sizes[2:6] - 1) - 0.5).astype(np.float32)
+        )
+        p_out = pxy(x)
+        c_cat, c_cont = cat(x)
+        loss = (
+            ce(torch.log(c_cat + 1e-8), shape_t)
+            + torch.mean((c_cont[:, :4] - cont_t) ** 2)
+            + torch.mean((p_out[:, :3] - cont_t[:, 1:4]) ** 2)
+        )
+        if colored:
+            gain_t = (gains[:, :, 0, 0] - 1.0) / 0.1
+            loss = loss + torch.mean((p_out[:, 3:6] - gain_t) ** 2)
+        opt.zero_grad()
+        loss.backward()
+        opt.step()
+    pxy.eval()
+    cat.eval()
+    pxy_name = "encoder_pxy_color_50000.pt" if colored else "encoder_pxy_50000.pt"
+    torch.save(pxy.state_dict(), os.path.join(out_dir, pxy_name))
+    torch.save(cat.state_dict(), os.path.join(out_dir, "encoder_500000.pt"))
+    return pxy_name, "encoder_500000.pt"
+
+
+# ---------------------------------------------------------------------------
+# 3. stage + run the reference scripts
+# ---------------------------------------------------------------------------
+
+
+def _patch_script(text: str, seed: int, script: str) -> str:
+    # unused-at-runtime imports absent from this image
+    text = "\n".join(
+        ln for ln in text.split("\n") if "torchvision" not in ln
+    )
+    text = text.replace(".cuda()", "")
+    # sklearn moved the private forest module; the class is unchanged
+    text = text.replace(
+        "from sklearn.ensemble.forest import", "from sklearn.ensemble import"
+    )
+    # seed the legacy global RNG right before the module-level sampling
+    if script == "MIG":
+        anchor = r"^(imgs, latents_values = load_data\(\))$"
+    else:
+        anchor = r"^(_, metric_data, _, _ = load_data\(\))$"
+    text, n = re.subn(
+        anchor, f"np.random.seed({seed})\n\\1", text, count=1, flags=re.M
+    )
+    assert n == 1, f"load_data anchor not found in {script}"
+    # dump the returned score dict as machine-readable JSON
+    if script == "MIG":
+        text += (
+            "\n\nimport json as _json\n"
+            'print("PARITY_RESULT " + _json.dumps('
+            '{"MIG_metric": float(score_list[0, 0])}))\n'
+        )
+    else:
+        text, n = re.subn(
+            r"^(\w+)\.evaluate\(\)\s*$",
+            "_parity = \\1.evaluate()\n"
+            "import json as _json\n"
+            'print("PARITY_RESULT " + _json.dumps({k: float(v) '
+            "for k, v in _parity.items() "
+            'if np.isscalar(v) or getattr(v, "ndim", 1) == 0}))',
+            text,
+            count=1,
+            flags=re.M,
+        )
+        assert n == 1, f"evaluate() driver not found in {script}"
+    return text
+
+
+def stage_reference(sandbox: str, colored: bool, seed: int) -> str:
+    src = os.path.join(
+        REFERENCE, "colored_dSprites" if colored else "dSprites", "score"
+    )
+    dst = os.path.join(sandbox, "score")
+    os.makedirs(dst, exist_ok=True)
+    with open(os.path.join(src, "utils_pxy.py")) as f:
+        utils = "\n".join(
+            ln for ln in f.read().split("\n") if "torchvision" not in ln
+        ).replace(".cuda()", "")
+    with open(os.path.join(dst, "utils_pxy.py"), "w") as f:
+        f.write(utils)
+    for script in METRIC_SCRIPTS:
+        with open(os.path.join(src, f"{script}.py")) as f:
+            text = f.read()
+        with open(os.path.join(dst, f"{script}.py"), "w") as f:
+            f.write(_patch_script(text, seed, script))
+    return dst
+
+
+def run_reference(score_dir: str) -> dict:
+    results = {}
+    for script in METRIC_SCRIPTS:
+        proc = subprocess.run(
+            [sys.executable, f"{script}.py"],
+            cwd=score_dir,
+            capture_output=True,
+            text=True,
+            timeout=3600,
+        )
+        line = next(
+            (l for l in proc.stdout.splitlines() if l.startswith("PARITY_RESULT ")),
+            None,
+        )
+        if proc.returncode != 0 or line is None:
+            raise RuntimeError(
+                f"reference {script} failed (rc={proc.returncode}):\n"
+                f"{proc.stdout[-2000:]}\n{proc.stderr[-4000:]}"
+            )
+        results.update(json.loads(line[len("PARITY_RESULT "):]))
+        print(f"  reference {script}: ok")
+    return results
+
+
+# ---------------------------------------------------------------------------
+# 4. our stack on the replicated data
+# ---------------------------------------------------------------------------
+
+
+def legacy_metric_data(imgs, sizes, possible, names, seed: int, with_latent: bool) -> dict:
+    """Bit-exact replica of the reference load_data sampling sequence:
+    groups -> eval permutation -> (SAP/DCI/F_score only, dSprites/score/
+    SAP.py:81-103) the random factor sample, all on the legacy global
+    np.random seeded once.  ``with_latent`` matters for the colored
+    variants: BetVAE/FactorVAE's load_data stops after the eval split,
+    so their in-evaluate color draws continue from an EARLIER RNG state
+    than SAP-family scripts'.  The legacy state persists on return so
+    callers continue the stream (per-script color draws)."""
+    sizes = np.asarray(sizes)
+    bases = np.concatenate((sizes[::-1].cumprod()[::-1][1:], np.array([1])))
+    np.random.seed(seed)
+
+    def sample_latent(size):
+        samples = np.zeros((size, sizes.size))
+        for lat_i, lat_size in enumerate(sizes):
+            samples[:, lat_i] = np.random.randint(lat_size, size=size)
+        return samples
+
+    def latent_to_index(latents):
+        return np.dot(latents, bases).astype(int)
+
+    groups = []
+    for i in range(500):
+        fixed = i % 5 + 1
+        latents = sample_latent(100)
+        latents[:, fixed] = np.random.randint(sizes[fixed], size=1)
+        groups.append({"img": imgs[latent_to_index(latents)], "label": fixed - 1})
+
+    selected = np.random.permutation(range(imgs.shape[0]))
+    eval_std = imgs[selected[: imgs.shape[0] // 10]]
+
+    if not with_latent:
+        return {"groups": groups, "img_eval_std": eval_std}
+
+    random_latent_ids = sample_latent(imgs.shape[0] // 10).astype(np.int32)
+    random_imgs = imgs[latent_to_index(random_latent_ids)]
+    random_latents = np.zeros((random_imgs.shape[0], 6))
+    for i in range(6):
+        random_latents[:, i] = possible[names[i]][random_latent_ids[:, i]]
+    random_latents = random_latents[:, 1:]
+    random_latents[:, 0] -= 1.0
+
+    return {
+        "groups": groups,
+        "img_eval_std": eval_std,
+        "img_with_latent": {
+            "img": random_imgs,
+            "latent": random_latents,
+            "latent_id": random_latent_ids[:, 1:],
+            "is_continuous": [False, True, True, True, True],
+        },
+    }
+
+
+def _colorize(img_u8: np.ndarray) -> np.ndarray:
+    """One reference add_color_2_img draw on the CURRENT np.random state
+    (colored_dSprites/score/BetVAE.py:207-224): uniform(0.5,1) gains in
+    (B,3,1,1) NCHW order -> float32 NHWC."""
+    color = np.random.uniform(0.5, 1, [img_u8.shape[0], 3, 1, 1])
+    nchw = img_u8[:, None, :, :].astype(np.float64) * color
+    return np.transpose(nchw, (0, 2, 3, 1)).astype(np.float32)
+
+
+def legacy_mig_indices(n_imgs, colored, num_points=1000, batch_size=16, seed=0):
+    """Replica of generate_batch_factor_code's draw order
+    (dSprites/score/MIG.py:205-275): per-16-batch randint, with the
+    colored variant's interleaved color draw."""
+    np.random.seed(seed)
+    idx, colors = [], []
+    i = 0
+    while i < num_points:
+        k = min(num_points - i, batch_size)
+        idx.append(np.random.randint(n_imgs, size=k))
+        if colored:
+            colors.append(np.random.uniform(0.5, 1, [k, 3, 1, 1]))
+        i += k
+    return np.concatenate(idx), (np.concatenate(colors) if colored else None)
+
+
+def run_ours(sandbox: str, score_dir: str, colored: bool, seed: int) -> dict:
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from eadgan_tpu.eval import (
+        Representer,
+        betavae_score,
+        dci_score,
+        factorvae_score,
+        fstat_score,
+        mig_score,
+        sap_score,
+    )
+    from eadgan_tpu.interop import (
+        import_sprites_encoder,
+        import_sprites_encoder_pxy,
+    )
+    from eadgan_tpu.interop.torch_import import (
+        converge_sn_state,
+        load_torch_state_dict,
+    )
+    from eadgan_tpu.models import SpritesEncoder, SpritesEncoderPxy
+
+    channels = 3 if colored else 1
+    pxy_name = "encoder_pxy_color_50000.pt" if colored else "encoder_pxy_50000.pt"
+    pxy_vars = import_sprites_encoder_pxy(
+        load_torch_state_dict(os.path.join(score_dir, pxy_name))
+    )
+    cat_vars = import_sprites_encoder(
+        load_torch_state_dict(os.path.join(score_dir, "encoder_500000.pt"))
+    )
+    pxy_encoder = SpritesEncoderPxy(out_dim=6 if colored else 3, channels=channels)
+    cat_encoder = SpritesEncoder(
+        n_classes=3, code_dim=7 if colored else 4, channels=channels
+    )
+    dummy = jnp.zeros((1, 64, 64, channels))
+    cat_vars = converge_sn_state(cat_encoder, cat_vars, dummy)
+    cat_vars = {
+        "params": cat_vars["params"],
+        "batch_stats": cat_vars.get("batch_stats", {}),
+    }
+
+    z = np.load(os.path.join(sandbox, NPZ_NAME), allow_pickle=True, encoding="latin1")
+    imgs = z["imgs"]
+    latents_values = z["latents_values"]
+    metadata = z["metadata"][()]
+    sizes = metadata["latents_sizes"]
+    possible = metadata["latents_possible_values"]
+    names = metadata["latents_names"]
+
+    representer = Representer(
+        pxy_encoder, pxy_vars, cat_encoder, cat_vars, colored=colored
+    )
+
+    def fresh_data(with_latent):
+        return legacy_metric_data(imgs, sizes, possible, names, seed, with_latent)
+
+    results = {}
+
+    # BetVAE: colored variant colorizes each group inside the evaluate
+    # loop, continuing the load_data RNG stream
+    md = fresh_data(with_latent=False)
+    if colored:
+        for g in md["groups"]:
+            g["img"] = _colorize(g["img"])
+    results.update(betavae_score(md, representer))
+    print("  ours BetVAE: ok")
+
+    # FactorVAE: eval_std is colorized FIRST, then each group
+    # (colored_dSprites/score/FactorVAE.py:270,316)
+    md = fresh_data(with_latent=False)
+    if colored:
+        md["img_eval_std"] = _colorize(md["img_eval_std"])
+        for g in md["groups"]:
+            g["img"] = _colorize(g["img"])
+    results.update(factorvae_score(md, representer))
+    print("  ours FactorVAE: ok")
+
+    # MIG: per-16-batch index (+color) draws, fresh seed at module level
+    idx, colors = legacy_mig_indices(imgs.shape[0], colored, seed=seed)
+    mig_imgs = imgs
+    if colored:
+        nchw = imgs[idx][:, None, :, :].astype(np.float64) * colors
+        mig_imgs = np.transpose(nchw, (0, 2, 3, 1)).astype(np.float32)
+        mig_idx = np.arange(idx.shape[0])
+    else:
+        mig_idx = idx
+    results.update(
+        mig_score(mig_imgs, latents_values[:, 1:6][idx] if colored else latents_values[:, 1:6],
+                  representer, idx=mig_idx)
+    )
+    print("  ours MIG: ok")
+
+    # SAP / DCI / F_score: img_with_latent colorized once in evaluate
+    for name, fn in (
+        ("SAP", lambda d: sap_score(d, representer)),
+        ("DCI", lambda d: dci_score(d, representer, "Lasso")),
+        ("F_score", lambda d: fstat_score(d, representer)),
+    ):
+        md = fresh_data(with_latent=True)
+        if colored:
+            md["img_with_latent"]["img"] = _colorize(md["img_with_latent"]["img"])
+        results.update(fn(md))
+        print(f"  ours {name}: ok")
+
+    return {
+        k: float(v)
+        for k, v in results.items()
+        if np.isscalar(v) or getattr(v, "ndim", 1) == 0
+    }
+
+
+# ---------------------------------------------------------------------------
+# 5. compare
+# ---------------------------------------------------------------------------
+
+
+def compare(ref: dict, ours: dict, atol=0.01, rtol=0.01) -> dict:
+    out = {}
+    for k in sorted(ref):
+        if k not in ours:
+            out[k] = {"reference": ref[k], "ours": None, "pass": False}
+            continue
+        diff = abs(ref[k] - ours[k])
+        out[k] = {
+            "reference": round(ref[k], 6),
+            "ours": round(ours[k], 6),
+            "abs_diff": round(diff, 6),
+            "pass": bool(diff <= max(atol, rtol * abs(ref[k]))),
+        }
+    return out
+
+
+def run_variant(variant: str, seed: int, keep: bool) -> dict:
+    colored = variant == "colored"
+    sandbox = f"/tmp/metric_parity_{variant}"
+    if os.path.isdir(sandbox):
+        shutil.rmtree(sandbox)
+    os.makedirs(sandbox)
+    print(f"[{variant}] building npz + encoders ...")
+    build_npz(os.path.join(sandbox, NPZ_NAME))
+    score_dir = stage_reference(sandbox, colored, seed)
+    build_torch_encoders(colored, seed, score_dir)
+    print(f"[{variant}] running reference scripts (torch CPU) ...")
+    ref = run_reference(score_dir)
+    print(f"[{variant}] running our stack (jax CPU) ...")
+    ours = run_ours(sandbox, score_dir, colored, seed)
+    table = compare(ref, ours)
+    if not keep:
+        shutil.rmtree(sandbox, ignore_errors=True)
+    return table
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--variant", choices=["gray", "colored", "both"], default="both")
+    parser.add_argument("--out", default=os.path.join(REPO, "METRIC_PARITY.json"))
+    parser.add_argument("--seed", type=int, default=1234)
+    parser.add_argument("--keep-sandbox", action="store_true")
+    opt = parser.parse_args(argv)
+
+    variants = ["gray", "colored"] if opt.variant == "both" else [opt.variant]
+    report = {}
+    ok = True
+    for variant in variants:
+        table = run_variant(variant, opt.seed, opt.keep_sandbox)
+        report[variant] = table
+        for k, row in table.items():
+            status = "PASS" if row["pass"] else "FAIL"
+            print(f"  [{variant}] {status} {k}: ref={row['reference']} ours={row['ours']}")
+            ok &= row["pass"]
+    report["tolerance"] = "abs_diff <= max(0.01, 0.01*|reference|)"
+    report["seed"] = opt.seed
+    report["all_pass"] = ok
+    with open(opt.out, "w") as f:
+        json.dump(report, f, indent=2)
+    print(f"wrote {opt.out}; all_pass={ok}")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
