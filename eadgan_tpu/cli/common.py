@@ -69,6 +69,11 @@ def add_run_args(parser: argparse.ArgumentParser) -> None:
     parser.add_argument("--resume", type=str, default="", help="train-state checkpoint to resume from")
     parser.add_argument("--profile_dir", type=str, default="", help="write a jax.profiler trace of the run here")
     parser.add_argument(
+        "--no_download",
+        action="store_true",
+        help="never fetch missing dataset archives from the network",
+    )
+    parser.add_argument(
         "--data_parallel",
         action="store_true",
         help="shard batches over all local devices (params replicated; "

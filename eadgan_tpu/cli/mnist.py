@@ -64,7 +64,13 @@ def main(argv=None) -> None:
         channels=opt.channels,
         sample_interval=opt.sample_interval,
     )
-    images, labels = load_mnist(os.path.join(opt.data_dir, "data/mnist"), config.img_size)
+    # download-on-missing like the reference's datasets.MNIST(download=True)
+    # (MNIST/EAD-GAN_rpqmnxy.py:234-246); degrades to synthetic on no egress
+    images, labels = load_mnist(
+        os.path.join(opt.data_dir, "data/mnist"),
+        config.img_size,
+        download=not opt.no_download,
+    )
 
     generator = MnistGenerator(
         latent_dim=config.latent_dim, n_classes=config.n_classes,

@@ -32,17 +32,34 @@ def _list_images(root: str) -> List[str]:
     return out
 
 
+def torchvision_resize_size(w: int, h: int, size: int) -> tuple:
+    """(new_w, new_h) exactly as torchvision ``Resize(int)`` computes it
+    on the PIL backend: shorter side -> ``size``, longer side ->
+    ``int(size * long / short)`` (floor truncation, NOT round —
+    torchvision/transforms/functional.py ``_compute_resized_output_size``)."""
+    short, long = (w, h) if w <= h else (h, w)
+    new_short, new_long = size, int(size * long / short)
+    return (new_short, new_long) if w <= h else (new_long, new_short)
+
+
+def torchvision_center_crop_box(w: int, h: int, size: int) -> tuple:
+    """(left, top, right, bottom) exactly as torchvision ``CenterCrop``:
+    ``int(round((dim - size) / 2.0))`` — rounds the half-pixel UP for odd
+    margins (round(7.5) == 8), unlike floor division."""
+    top = int(round((h - size) / 2.0))
+    left = int(round((w - size) / 2.0))
+    return (left, top, left + size, top + size)
+
+
 def _decode_resize_crop(path: str, size: int) -> np.ndarray:
     from PIL import Image
 
     with Image.open(path) as im:
         im = im.convert("RGB")
         w, h = im.size
-        scale = size / min(w, h)
-        im = im.resize((round(w * scale), round(h * scale)), Image.BILINEAR)
+        im = im.resize(torchvision_resize_size(w, h, size), Image.BILINEAR)
         w, h = im.size
-        left, top = (w - size) // 2, (h - size) // 2
-        im = im.crop((left, top, left + size, top + size))
+        im = im.crop(torchvision_center_crop_box(w, h, size))
         return np.asarray(im, np.uint8)
 
 

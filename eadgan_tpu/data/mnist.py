@@ -15,10 +15,63 @@ from typing import Tuple
 
 import numpy as np
 
-__all__ = ["load_mnist"]
+__all__ = ["load_mnist", "download_mnist"]
 
 _IMAGES = "train-images-idx3-ubyte"
 _LABELS = "train-labels-idx1-ubyte"
+
+# Download-on-missing parity with the reference's torchvision call
+# ``datasets.MNIST(..., download=True)`` (MNIST/EAD-GAN_rpqmnxy.py:234-246):
+# same mirrors torchvision uses, same md5s it pins.
+_MNIST_MIRRORS = (
+    "https://ossci-datasets.s3.amazonaws.com/mnist/",
+    "https://storage.googleapis.com/cvdf-datasets/mnist/",
+)
+_MNIST_MD5 = {
+    _IMAGES + ".gz": "f68b3c2dcbeaaa9fbdd348bbdeb94873",
+    _LABELS + ".gz": "d53e105ee54ea40749a09fcbcd1e9432",
+}
+
+
+def download_mnist(data_dir: str, timeout: float = 60.0) -> bool:
+    """Fetch the training idx archives into ``data_dir`` when absent.
+
+    Tries each mirror, verifies the torchvision-pinned md5, and writes
+    atomically (``.part`` then rename) so an interrupted transfer never
+    poses as a complete archive.  Returns True iff both files are
+    present and verified afterwards; any network or checksum failure
+    just returns False (callers degrade to the synthetic fallback).
+    """
+    import hashlib
+    import urllib.request
+
+    ok = True
+    for name, md5 in _MNIST_MD5.items():
+        dest = os.path.join(data_dir, name)
+        if os.path.exists(dest) or os.path.exists(dest[: -len(".gz")]):
+            continue
+        os.makedirs(data_dir, exist_ok=True)
+        fetched = False
+        for mirror in _MNIST_MIRRORS:
+            tmp = dest + ".part"
+            try:
+                with urllib.request.urlopen(mirror + name, timeout=timeout) as r, open(
+                    tmp, "wb"
+                ) as f:
+                    f.write(r.read())
+                digest = hashlib.md5(open(tmp, "rb").read()).hexdigest()
+                if digest != md5:
+                    raise IOError(f"md5 mismatch for {name}: {digest}")
+                os.replace(tmp, dest)
+                print(f"downloaded {name} from {mirror}")
+                fetched = True
+                break
+            except Exception as e:  # noqa: BLE001 — any failure -> next mirror
+                print(f"mnist download failed ({mirror + name}): {e}")
+                if os.path.exists(tmp):
+                    os.remove(tmp)
+        ok &= fetched
+    return ok
 
 
 def _open_maybe_gz(path):
@@ -75,11 +128,23 @@ def _synthetic_mnist(n=2048, seed=0) -> Tuple[np.ndarray, np.ndarray]:
 
 
 def load_mnist(
-    data_dir: str = "data/mnist", img_size: int = 32, allow_synthetic: bool = True
+    data_dir: str = "data/mnist",
+    img_size: int = 32,
+    allow_synthetic: bool = True,
+    download: bool = False,
 ) -> Tuple[np.ndarray, np.ndarray]:
-    """Returns (images (N, 32, 32, 1) float32 in [-1, 1], labels (N,))."""
+    """Returns (images (N, 32, 32, 1) float32 in [-1, 1], labels (N,)).
+
+    ``download=True`` fetches the idx archives on first use like the
+    reference's ``datasets.MNIST(..., download=True)``; on failure (no
+    egress) it degrades to the synthetic fallback exactly as if the
+    files were absent."""
     img_path = os.path.join(data_dir, _IMAGES)
     lab_path = os.path.join(data_dir, _LABELS)
+    if download and not (
+        os.path.exists(img_path) or os.path.exists(img_path + ".gz")
+    ):
+        download_mnist(data_dir)
     if os.path.exists(img_path) or os.path.exists(img_path + ".gz"):
         raw = _read_idx_images(img_path)
         labels = _read_idx_labels(lab_path)

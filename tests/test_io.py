@@ -172,3 +172,129 @@ def test_mnist_resize_matches_pil(rng):
             Image.fromarray(imgs[i]).resize((32, 32), Image.BILINEAR), np.float32
         )
         np.testing.assert_allclose(ours[i], pil, atol=1.5)
+
+
+def test_celeba_decode_torchvision_semantics(tmp_path, rng):
+    """The JPEG ingest must reproduce the reference transform chain
+    Resize(64) -> CenterCrop(64) (celebA/EAD-GAN_celebA.py:194-197)
+    bit-exactly.  torchvision is not in this image, so the expected
+    values replicate its exact published formulas on the PIL backend:
+
+    * Resize(int): shorter side -> size, longer side ->
+      ``int(size * long / short)`` (floor), then PIL ``im.resize(...,
+      BILINEAR)`` — torchvision's PIL path IS pil.resize, so matching
+      the size computation makes the pixels identical by construction.
+    * CenterCrop: offsets ``int(round((dim - size) / 2.0))`` — rounds
+      half-pixels UP for odd margins (floor division would differ by
+      one row/column on odd-sized intermediates like CelebA's
+      178x218 -> 64x78).
+    """
+    from PIL import Image
+
+    from eadgan_tpu.data.celeba import (
+        _decode_resize_crop,
+        torchvision_center_crop_box,
+        torchvision_resize_size,
+    )
+
+    # size-computation parity over shapes incl. the real CelebA aligned
+    # 178x218 and odd/even margins in both orientations
+    cases = [(178, 218), (218, 178), (100, 101), (65, 64), (64, 64), (130, 97)]
+    for w, h in cases:
+        nw, nh = torchvision_resize_size(w, h, 64)
+        short, long = (w, h) if w <= h else (h, w)
+        assert min(nw, nh) == 64
+        assert max(nw, nh) == int(64 * long / short)  # floor, not round
+    assert torchvision_resize_size(178, 218, 64) == (64, 78)
+    # odd crop margin rounds up: 78-64=14 -> top 7; 79-64=15 -> top 8
+    assert torchvision_center_crop_box(64, 79, 64) == (0, 8, 64, 72)
+    assert torchvision_center_crop_box(64, 78, 64) == (0, 7, 64, 71)
+
+    # end-to-end decode parity vs an inline replica of the torchvision
+    # PIL-backend pipeline
+    for w, h in [(178, 218), (90, 64), (101, 67)]:
+        arr = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        p = tmp_path / f"img_{w}x{h}.png"  # png: lossless, isolates geometry
+        Image.fromarray(arr).save(p)
+
+        ours = _decode_resize_crop(str(p), 64)
+
+        im = Image.open(p).convert("RGB")
+        short, long = (w, h) if w <= h else (h, w)
+        new_short, new_long = 64, int(64 * long / short)
+        nw, nh = (new_short, new_long) if w <= h else (new_long, new_short)
+        im = im.resize((nw, nh), Image.BILINEAR)
+        top = int(round((nh - 64) / 2.0))
+        left = int(round((nw - 64) / 2.0))
+        expected = np.asarray(im.crop((left, top, left + 64, top + 64)), np.uint8)
+
+        np.testing.assert_array_equal(ours, expected)
+
+
+def test_mnist_download_on_missing(tmp_path, monkeypatch):
+    """download=True must fetch-and-verify missing idx archives (the
+    reference's datasets.MNIST(download=True), MNIST/EAD-GAN_rpqmnxy.py:
+    234-246): atomic write, md5 check, mirror fallback, and graceful
+    synthetic degrade when every mirror fails."""
+    import gzip as _gzip
+    import hashlib
+    import io
+    import struct
+    import urllib.request
+
+    from eadgan_tpu.data import mnist as mnist_mod
+
+    n = 8
+    img_raw = struct.pack(">IIII", 2051, n, 28, 28) + bytes(
+        (i * 7) % 256 for i in range(n * 28 * 28)
+    )
+    lab_raw = struct.pack(">II", 2049, n) + bytes(i % 10 for i in range(n))
+    blobs = {
+        "train-images-idx3-ubyte.gz": _gzip.compress(img_raw),
+        "train-labels-idx1-ubyte.gz": _gzip.compress(lab_raw),
+    }
+    monkeypatch.setattr(
+        mnist_mod,
+        "_MNIST_MD5",
+        {k: hashlib.md5(v).hexdigest() for k, v in blobs.items()},
+    )
+
+    calls = []
+
+    class FakeResponse(io.BytesIO):
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+    def fake_urlopen(url, timeout=None):
+        calls.append(url)
+        name = url.rsplit("/", 1)[1]
+        if "first-mirror-down" in url or len(calls) == 1:
+            raise OSError("mirror down")
+        return FakeResponse(blobs[name])
+
+    monkeypatch.setattr(urllib.request, "urlopen", fake_urlopen)
+    imgs, labels = mnist_mod.load_mnist(str(tmp_path / "mnist"), 32, download=True)
+    assert imgs.shape == (n, 32, 32, 1)
+    assert list(labels) == [i % 10 for i in range(n)]
+    # first mirror failed -> second used; no stray .part left behind
+    assert len(calls) >= 2
+    assert not list(tmp_path.glob("mnist/*.part"))
+
+    # checksum mismatch must reject the file and degrade to synthetic
+    monkeypatch.setattr(
+        mnist_mod, "_MNIST_MD5", {k: "0" * 32 for k in blobs}
+    )
+    imgs2, labels2 = mnist_mod.load_mnist(str(tmp_path / "bad"), 32, download=True)
+    assert imgs2.shape[0] == 2048  # synthetic fallback size
+    assert not list(tmp_path.glob("bad/*.gz"))
+
+    # total network failure -> synthetic, no raise
+    def down(url, timeout=None):
+        raise OSError("no egress")
+
+    monkeypatch.setattr(urllib.request, "urlopen", down)
+    imgs3, _ = mnist_mod.load_mnist(str(tmp_path / "off"), 32, download=True)
+    assert imgs3.shape[0] == 2048
