@@ -2,28 +2,35 @@
 
 XLA lowers the 4-tap gather of :mod:`eadgan_tpu.ops.stn` to scalar
 gathers (~15 ms for a (128, 64, 64, 3) batch — half a CelebA train
-step).  This kernel reformulates the warp as one-hot-matrix
-contractions that run on the MXU instead:
+step).  This kernel reformulates the warp as MXU contractions against
+bilinear *hat-function* weight matrices:
 
-    out[k, c] = sum_x ( sum_y Ry[k, y] * img[y, c*W + x] ) * Rx[k, x]
+    weight of source texel t for coordinate x  =  max(0, 1 - |x - t|)
 
-with k the flattened output pixel index of a row block.  ``Ry``/``Rx``
-carry both the one-hot tap selection and the bilinear interpolation
-weights (two taps each; their rank-1 product reproduces all four
-bilinear taps exactly).  The x/channel reduction is itself a matmul
-with a constant 0/1 selection matrix, so the whole kernel is two MXU
-contractions plus VPU iota/compare/select — no gathers, no in-kernel
-reshapes or transposes (Mosaic-friendly), no HBM intermediates.
+which reproduces both bilinear taps exactly (and zero padding for free:
+out-of-range coordinates overlap no texel).  Everything is computed in
+TRANSPOSED layout — K = flattened output pixels on the lane (last)
+dimension throughout — so every tensor is lane-wide and the tiny
+channel dimension (3) only ever appears on sublanes:
 
-Layout notes: the image block is pre-arranged outside the kernel to
-(H, C*W) channel-major lanes; Rx is concatenated C times along lanes to
-match.  All layout shuffles happen outside ``pallas_call`` where XLA
-transposes are free-ish.
+    tmp[c*W + x, k] = sum_y img_t[c*W + x, y] * RyT[y, k]     (MXU)
+    prod            = tmp * tile(RxT, C)                       (VPU)
+    out_t[c, k]     = sum_x prod[c*W + x, k]                   (MXU, via
+                      a constant 0/1 channel-selection matrix)
+
+No gathers, no in-kernel reshapes or lane-moving transposes; the
+(n, C, H*W) -> NHWC shuffle happens outside ``pallas_call`` where XLA
+transposes are cheap.
 
 Gradients: training never differentiates through the warp (images are
 data, matrices come from sampled codes or the frozen aligner), but a
 correct VJP is provided anyway by replaying the reference jnp
 implementation's autodiff in the backward pass.
+
+Parity note: 'highest' precision reproduces the golden torch output to
+~1e-5 and is the library default; 'fast' (EADGAN_WARP_PRECISION=fast)
+runs the contractions at default bf16 MXU precision (~6e-3 pixel error,
+immaterial for training).
 """
 
 from __future__ import annotations
@@ -44,16 +51,16 @@ def _kernel(
     matrix_ref, img_ref, out_ref, *, block_i: int, padding_mode: str, c: int,
     precision: str,
 ):
-    # img block: (1, H, C*W) channel-major lanes; out block: (1, BI*W, C)
-    _, h, cw = img_ref.shape
+    # img block: (1, C*W, H) channel-major rows; out block: (1, C, BI*W)
+    _, cw, h = img_ref.shape
     w = cw // c
     i0 = pl.program_id(1) * block_i
     f32 = jnp.float32
 
-    kw = block_i * w  # flattened pixels in this row block
+    kw = block_i * w  # flattened output pixels in this row block
 
-    # Flattened output pixel index k -> (row i, col j) without reshapes.
-    k = jax.lax.broadcasted_iota(jnp.int32, (kw, 1), 0)
+    # Flattened output pixel index k -> (row i, col j), all row vectors.
+    k = jax.lax.broadcasted_iota(jnp.int32, (1, kw), 1)
     row = k // w + i0
     col = k - (k // w) * w
 
@@ -65,62 +72,42 @@ def _kernel(
     xs = t[0, 0, 0] * x_norm + t[0, 0, 1] * y_norm + t[0, 0, 2]
     ys = t[0, 1, 0] * x_norm + t[0, 1, 1] * y_norm + t[0, 1, 2]
 
-    x = (xs + 1.0) * (w * 0.5) - 0.5
+    x = (xs + 1.0) * (w * 0.5) - 0.5  # (1, KW)
     y = (ys + 1.0) * (h * 0.5) - 0.5
     if padding_mode == "border":
         x = jnp.clip(x, 0.0, w - 1.0)
         y = jnp.clip(y, 0.0, h - 1.0)
 
-    x0 = jnp.floor(x)
-    y0 = jnp.floor(y)
-    wx = x - x0  # (KW, 1)
-    wy = y - y0
-    x0i = x0.astype(jnp.int32)
-    y0i = y0.astype(jnp.int32)
+    # Hat-function tap weights, transposed: RyT[y, k], RxT[x, k].
+    # (Mosaic only supports integer iotas; cast after materializing.)
+    ty = jax.lax.broadcasted_iota(jnp.int32, (h, kw), 0).astype(f32)
+    tx = jax.lax.broadcasted_iota(jnp.int32, (w, kw), 0).astype(f32)
+    ry_t = jnp.maximum(0.0, 1.0 - jnp.abs(y - ty))  # (H, KW)
+    rx_t = jnp.maximum(0.0, 1.0 - jnp.abs(x - tx))  # (W, KW)
 
-    iota_x = jax.lax.broadcasted_iota(jnp.int32, (kw, w), 1)
-    iota_y = jax.lax.broadcasted_iota(jnp.int32, (kw, h), 1)
-
-    if padding_mode == "zeros":
-        # out-of-range taps simply never match the iota -> weight 0
-        rx = jnp.where(iota_x == x0i, 1.0 - wx, 0.0) + jnp.where(
-            iota_x == x0i + 1, wx, 0.0
-        )
-        ry = jnp.where(iota_y == y0i, 1.0 - wy, 0.0) + jnp.where(
-            iota_y == y0i + 1, wy, 0.0
-        )
-    else:
-        # border: coords already clamped; x0+1 may be w exactly when
-        # x == w-1 (weight 0) -> clamp the tap index into range.
-        x1i = jnp.minimum(x0i + 1, w - 1)
-        y1i = jnp.minimum(y0i + 1, h - 1)
-        rx = jnp.where(iota_x == x0i, 1.0 - wx, 0.0) + jnp.where(iota_x == x1i, wx, 0.0)
-        ry = jnp.where(iota_y == y0i, 1.0 - wy, 0.0) + jnp.where(iota_y == y1i, wy, 0.0)
-
-    # MXU contraction over y: (KW, H) @ (H, C*W) -> (KW, C*W).
-    # HIGHEST reproduces the golden torch output to ~1e-5 (2x dot cost);
-    # 'fast' uses the default bf16 passes (~6e-3 pixel error, ~2x faster
-    # kernel) for throughput-first training.
     dot_precision = (
         jax.lax.Precision.HIGHEST if precision == "highest" else
         jax.lax.Precision.DEFAULT
     )
+
+    # MXU contraction over y: (C*W, H) @ (H, KW) -> (C*W, KW).
     img_block = img_ref[0].astype(f32)
     tmp = jnp.dot(
-        ry, img_block, precision=dot_precision, preferred_element_type=f32,
+        img_block, ry_t, precision=dot_precision, preferred_element_type=f32,
     )
 
-    # Broadcast Rx across channels (channel-major lanes: index c*W + x).
-    rx_rep = jnp.concatenate([rx] * c, axis=1)  # (KW, C*W)
+    # Apply Rx across channels (rows are channel-major: index c*W + x).
+    rx_rep = jnp.concatenate([rx_t] * c, axis=0)  # (C*W, KW)
     prod = tmp * rx_rep
 
     # Reduce over x per channel with a constant selection matrix:
-    # S[c*W + x, c] = 1  ->  out = prod @ S  (second MXU contraction).
-    sel_row = jax.lax.broadcasted_iota(jnp.int32, (cw, c), 0) // w
-    sel_col = jax.lax.broadcasted_iota(jnp.int32, (cw, c), 1)
+    # S[c, c*W + x] = 1  ->  out_t = S @ prod  (second MXU contraction,
+    # M = C sublanes, N = KW lanes: nothing is lane-padded).
+    sel_row = jax.lax.broadcasted_iota(jnp.int32, (c, cw), 0)
+    sel_col = jax.lax.broadcasted_iota(jnp.int32, (c, cw), 1) // w
     sel = (sel_row == sel_col).astype(f32)
     out = jnp.dot(
-        prod, sel, precision=dot_precision, preferred_element_type=f32
+        sel, prod, precision=dot_precision, preferred_element_type=f32
     )
 
     out_ref[0] = out.astype(out_ref.dtype)
@@ -131,9 +118,16 @@ def _forward(
 ) -> jnp.ndarray:
     n, h, w, c = img.shape
     theta = (matrix[:, :2, :] if matrix.shape[-2] == 3 else matrix).astype(jnp.float32)
-    block_i = 8 if h % 8 == 0 else 1
-    # channel-major lane layout (H, C*W), arranged outside the kernel
-    img_cm = jnp.transpose(img, (0, 1, 3, 2)).reshape(n, h, c * w)
+    # Largest row block whose VMEM working set (~4 live (C*W, KW) f32
+    # buffers) stays well under the 16 MB budget: fewer, bigger programs
+    # amortize grid overhead and feed the MXU longer contractions.
+    block_i = 1
+    for cand in (64, 32, 16, 8, 4, 2):
+        if h % cand == 0 and 4 * (c * w) * (cand * w) * 4 <= 10 * 2**20:
+            block_i = cand
+            break
+    # channel-major row layout (C*W, H), arranged outside the kernel
+    img_cm = jnp.transpose(img, (0, 3, 2, 1)).reshape(n, c * w, h)
     kernel = functools.partial(
         _kernel, block_i=block_i, padding_mode=padding_mode, c=c,
         precision=precision,
@@ -144,16 +138,16 @@ def _forward(
         in_specs=[
             pl.BlockSpec((1, 2, 3), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(
-                (1, h, c * w), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM
+                (1, c * w, h), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM
             ),
         ],
         out_specs=pl.BlockSpec(
-            (1, block_i * w, c), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
+            (1, c, block_i * w), lambda b, i: (b, 0, i), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((n, h * w, c), img.dtype),
+        out_shape=jax.ShapeDtypeStruct((n, c, h * w), img.dtype),
         interpret=jax.default_backend() == "cpu",  # tests run on CPU
     )(theta.reshape(n, 2, 3), img_cm)
-    return out.reshape(n, h, w, c)
+    return jnp.transpose(out, (0, 2, 1)).reshape(n, h, w, c)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
