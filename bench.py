@@ -1,19 +1,29 @@
-"""Benchmark harness: CelebA 64x64 full train-step throughput per chip.
+"""Benchmark harness.
 
-Runs the complete three-phase CelebA training step (G phase + D phase +
-info phase, the reference's heaviest pipeline) on synthetic data on the
-available accelerator and prints ONE JSON line:
+Default (driver contract): runs the complete three-phase CelebA training
+step (the reference's heaviest pipeline) and prints ONE JSON line:
 
     {"metric": ..., "value": N, "unit": "images/sec", "vs_baseline": N}
+
+``--suite`` additionally benches the dSprites rp step, the MNIST step,
+and pure generator inference (the unreported BASELINE.md:23 row), prints
+one JSON line each, and writes BENCH_SUITE.json.
 
 ``vs_baseline`` compares against the measured reference-PyTorch
 throughput on this host (BASELINE_MEASURED.json, produced by
 tools/bench_torch_reference.py — CPU torch is all this container has;
 the reference publishes no numbers of its own, see BASELINE.md).
+
+Measurement: N steps are chained inside ONE device program
+(``lax.fori_loop``) and two lengths are differenced — the remote
+-execution tunnel's ``block_until_ready`` returns early and naive
+per-call timing both adds ~35 ms latency and can report buffers ready
+before the chain has executed.
 """
 
 import json
 import os
+import sys
 import time
 
 BATCH = int(os.environ.get("BENCH_BATCH", "128"))
@@ -24,6 +34,188 @@ STEPS = int(os.environ.get("BENCH_STEPS", "20"))
 # error — immaterial for training; the exact 'highest' mode stays the
 # library default for parity work).
 os.environ.setdefault("EADGAN_WARP_PRECISION", "fast")
+
+
+def _timed_loop(step_like, init_carry, steps=STEPS, warmup=WARMUP):
+    """Time one carried step function by fori_loop length differencing."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def run_n(n, carry):
+        return jax.lax.fori_loop(0, n, lambda i, c: step_like(c), carry)
+
+    def force(tree):
+        leaf = jax.tree_util.tree_leaves(tree)[0]
+        return float(jnp.asarray(leaf).astype(jnp.float32).ravel()[0])
+
+    for _ in range(warmup):
+        force(run_n(1, init_carry))
+    t0 = time.perf_counter()
+    force(run_n(1, init_carry))
+    t1 = time.perf_counter()
+    force(run_n(1 + steps, init_carry))
+    t2 = time.perf_counter()
+    return ((t2 - t1) - (t1 - t0)) / steps
+
+
+def _baseline(key):
+    path = os.path.join(os.path.dirname(__file__), "BASELINE_MEASURED.json")
+    if os.path.exists(path):
+        with open(path) as f:
+            return json.load(f).get(key)
+    return None
+
+
+def bench_celeba():
+    import jax
+    import jax.numpy as jnp
+
+    from eadgan_tpu.models import CelebaDiscriminator, CelebaGenerator
+    from eadgan_tpu.train.config import CelebaConfig
+    from eadgan_tpu.train.gan_celeba import init_celeba_gan_state, make_celeba_gan_step
+
+    dtype_name = os.environ.get("BENCH_DTYPE", "bfloat16")
+    compute_dtype = None if dtype_name == "float32" else getattr(jnp, dtype_name)
+
+    config = CelebaConfig(batch_size=BATCH)
+    generator = CelebaGenerator(dtype=compute_dtype)
+    discriminator = CelebaDiscriminator(dtype=compute_dtype)
+    state = init_celeba_gan_state(generator, discriminator, config, jax.random.PRNGKey(0))
+    step = make_celeba_gan_step(generator, discriminator, config)
+    imgs = jax.random.uniform(
+        jax.random.PRNGKey(1), (BATCH, 64, 64, 3), minval=-1.0, maxval=1.0
+    )
+
+    dt = _timed_loop(lambda c: (step(c[0], c[1])[0], c[1]), (state, imgs))
+    ips = BATCH / dt
+    ref = _baseline("celeba_train_images_per_sec")
+    return {
+        "metric": "celeba_train_images_per_sec_per_chip",
+        "value": round(ips, 2),
+        "unit": "images/sec",
+        "vs_baseline": round(ips / ref, 2) if ref else None,
+    }
+
+
+def bench_dsprites():
+    import jax
+    import jax.numpy as jnp
+
+    from eadgan_tpu.models import (
+        SpritesDiscriminator,
+        SpritesEncoder,
+        SpritesEncoderPxy,
+        SpritesGenerator,
+    )
+    from eadgan_tpu.train.config import SpritesGanConfig
+    from eadgan_tpu.train.gan_dsprites import (
+        init_sprites_gan_state,
+        make_sprites_gan_step,
+    )
+
+    dtype_name = os.environ.get("BENCH_DTYPE", "bfloat16")
+    compute_dtype = None if dtype_name == "float32" else getattr(jnp, dtype_name)
+
+    config = SpritesGanConfig(batch_size=BATCH)
+    g, d, e, pxy = (
+        SpritesGenerator(dtype=compute_dtype),
+        SpritesDiscriminator(dtype=compute_dtype),
+        SpritesEncoder(dtype=compute_dtype),
+        SpritesEncoderPxy(),
+    )
+    pxy_vars = pxy.init(jax.random.PRNGKey(1), jnp.zeros((1, 64, 64, 1)))
+    state = init_sprites_gan_state(g, d, e, pxy, pxy_vars, config, jax.random.PRNGKey(0))
+    step = make_sprites_gan_step(g, d, e, pxy, config)
+    imgs = jax.random.uniform(jax.random.PRNGKey(2), (BATCH, 64, 64, 1))
+
+    dt = _timed_loop(lambda c: (step(c[0], c[1])[0], c[1]), (state, imgs))
+    ips = BATCH / dt
+    ref = _baseline("dsprites_train_images_per_sec")
+    return {
+        "metric": "dsprites_rp_train_images_per_sec_per_chip",
+        "value": round(ips, 2),
+        "unit": "images/sec",
+        "vs_baseline": round(ips / ref, 2) if ref else None,
+    }
+
+
+def bench_mnist():
+    import jax
+    import jax.numpy as jnp
+
+    from eadgan_tpu.models import (
+        AffineApproximator,
+        MnistDiscriminator,
+        MnistEncoder,
+        MnistGenerator,
+    )
+    from eadgan_tpu.train.config import MnistConfig
+    from eadgan_tpu.train.gan_mnist import init_mnist_gan_state, make_mnist_gan_step
+
+    dtype_name = os.environ.get("BENCH_DTYPE", "bfloat16")
+    compute_dtype = None if dtype_name == "float32" else getattr(jnp, dtype_name)
+
+    config = MnistConfig(batch_size=BATCH)
+    g = MnistGenerator(dtype=compute_dtype)
+    d = MnistDiscriminator(dtype=compute_dtype)
+    e = MnistEncoder(dtype=compute_dtype)
+    approx = AffineApproximator()
+    approx_vars = approx.init(jax.random.PRNGKey(1), jnp.zeros((1, 6)))
+    state = init_mnist_gan_state(g, d, e, approx_vars, config, jax.random.PRNGKey(0))
+    step = make_mnist_gan_step(g, d, e, approx, config)
+    imgs = jax.random.uniform(
+        jax.random.PRNGKey(2), (BATCH, 32, 32, 1), minval=-1.0, maxval=1.0
+    )
+    labels = jnp.zeros((BATCH,), jnp.int32)
+
+    dt = _timed_loop(lambda c: (step(c[0], c[1], c[2])[0], c[1], c[2]), (state, imgs, labels))
+    ips = BATCH / dt
+    ref = _baseline("mnist_train_images_per_sec")
+    return {
+        "metric": "mnist_train_images_per_sec_per_chip",
+        "value": round(ips, 2),
+        "unit": "images/sec",
+        "vs_baseline": round(ips / ref, 2) if ref else None,
+    }
+
+
+def bench_generate():
+    """Generated imgs/sec — the BASELINE.md:23 'report' row.  Pure
+    CelebA generator forward (eval-mode BN) at inference batch."""
+    import jax
+    import jax.numpy as jnp
+
+    from eadgan_tpu.models import CelebaGenerator
+    from eadgan_tpu.train.config import CelebaConfig
+
+    config = CelebaConfig()
+    gen = CelebaGenerator(dtype=jnp.bfloat16)
+    variables = gen.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, config.latent_dim)),
+        jnp.zeros((1, config.n_classes)),
+        jnp.zeros((1, config.code_dim)),
+    )
+    z = jax.random.normal(jax.random.PRNGKey(1), (BATCH, config.latent_dim))
+    lab = jax.nn.one_hot(jnp.zeros((BATCH,), jnp.int32), config.n_classes)
+    code = jnp.zeros((BATCH, config.code_dim))
+
+    def fwd(c):
+        z = c[0]
+        out = gen.apply(variables, z, c[1], c[2], train=False)
+        # feed the output back so the loop can't be collapsed
+        return (z + out[:, 0, 0, :1] * 0, c[1], c[2])
+
+    dt = _timed_loop(fwd, (z, lab, code))
+    ips = BATCH / dt
+    ref = _baseline("celeba_generate_images_per_sec")
+    return {
+        "metric": "celeba_generate_images_per_sec_per_chip",
+        "value": round(ips, 2),
+        "unit": "images/sec",
+        "vs_baseline": round(ips / ref, 2) if ref else None,
+    }
 
 
 def main() -> None:
@@ -37,79 +229,18 @@ def main() -> None:
     except Exception:
         pass
 
-    from eadgan_tpu.models import CelebaDiscriminator, CelebaGenerator
-    from eadgan_tpu.train.config import CelebaConfig
-    from eadgan_tpu.train.gan_celeba import init_celeba_gan_state, make_celeba_gan_step
-
-    import jax.numpy as _jnp
-
-    dtype_name = os.environ.get("BENCH_DTYPE", "bfloat16")
-    compute_dtype = None if dtype_name == "float32" else getattr(_jnp, dtype_name)
-
-    config = CelebaConfig(batch_size=BATCH)
-    generator = CelebaGenerator(dtype=compute_dtype)
-    discriminator = CelebaDiscriminator(dtype=compute_dtype)
-    state = init_celeba_gan_state(
-        generator, discriminator, config, jax.random.PRNGKey(0)
-    )
-    step = make_celeba_gan_step(generator, discriminator, config)
-
-    imgs = jax.random.uniform(
-        jax.random.PRNGKey(1), (BATCH, 64, 64, 3), minval=-1.0, maxval=1.0
-    )
-
-    # Measure by chaining N steps inside ONE device program
-    # (lax.fori_loop) and differencing two lengths: the device cannot
-    # return the final loss before executing every iteration, and the
-    # dispatch round-trip cancels out.  (Per-call timing through the
-    # remote-execution tunnel both adds ~35 ms latency per step and,
-    # with plain async dispatch, can report buffers ready before the
-    # chain has executed.)
-    import jax.numpy as jnp
-
-    @jax.jit
-    def run_n(state, imgs, n):
-        def body(i, carry):
-            s, _ = carry
-            s, m = step(s, imgs)
-            return (s, m["d_loss"])
-
-        return jax.lax.fori_loop(0, n, body, (state, jnp.float32(0)))
-
-    for _ in range(WARMUP):
-        _, loss = run_n(state, imgs, 1)
-        float(loss)  # force full execution
-
-    t0 = time.perf_counter()
-    _, loss = run_n(state, imgs, 1)
-    float(loss)
-    t1 = time.perf_counter()
-    _, loss = run_n(state, imgs, 1 + STEPS)
-    float(loss)
-    t2 = time.perf_counter()
-    dt = (t2 - t1) - (t1 - t0)
-
-    ips = STEPS * BATCH / dt
-
-    baseline_path = os.path.join(os.path.dirname(__file__), "BASELINE_MEASURED.json")
-    vs = None
-    if os.path.exists(baseline_path):
-        with open(baseline_path) as f:
-            baseline = json.load(f)
-        ref = baseline.get("celeba_train_images_per_sec")
-        if ref:
-            vs = ips / ref
-
-    print(
-        json.dumps(
-            {
-                "metric": "celeba_train_images_per_sec_per_chip",
-                "value": round(ips, 2),
-                "unit": "images/sec",
-                "vs_baseline": round(vs, 2) if vs else None,
-            }
-        )
-    )
+    suite = "--suite" in sys.argv
+    benches = [bench_celeba]
+    if suite:
+        benches += [bench_dsprites, bench_mnist, bench_generate]
+    rows = []
+    for fn in benches:
+        row = fn()
+        print(json.dumps(row), flush=True)
+        rows.append(row)
+    if suite:
+        with open(os.path.join(os.path.dirname(__file__), "BENCH_SUITE.json"), "w") as f:
+            json.dump(rows, f, indent=2)
 
 
 if __name__ == "__main__":

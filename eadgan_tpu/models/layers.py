@@ -202,14 +202,16 @@ class TorchBatchNorm(nn.Module):
         scale_init = normal_init(1.0, 0.02) if self.use_normal_init else nn.initializers.ones
         # Batch statistics always in float32 — under the bf16 fast path
         # the conv outputs arrive in bf16, but variance estimation at
-        # half precision destabilizes GAN training.
-        in_dtype = x.dtype
-        out = nn.BatchNorm(
+        # half precision destabilizes GAN training.  flax's BatchNorm
+        # already computes mean/var in f32 regardless of input dtype
+        # (dtype=None promotes stats), so no explicit up-cast of the
+        # activations is needed around it — tests/test_bf16.py pins
+        # both contracts (stats dtype + f32-vs-bf16 agreement).
+        return nn.BatchNorm(
             momentum=self.momentum,
             epsilon=self.eps,
             scale_init=scale_init,
-        )(x.astype(jnp.float32), use_running_average=use_running_average)
-        return out.astype(in_dtype)
+        )(x, use_running_average=use_running_average)
 
 
 def upsample_nearest(x: jnp.ndarray, factor: int = 2) -> jnp.ndarray:

@@ -14,6 +14,8 @@ torch is subtle and reproduced faithfully:
 
 from __future__ import annotations
 
+from typing import Any
+
 import flax.linen as nn
 import jax.numpy as jnp
 
@@ -39,6 +41,7 @@ class MnistGenerator(nn.Module):
     code_dim: int = 7
     img_size: int = 32
     channels: int = 1
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, noise, labels, code, train: bool = True):
@@ -47,21 +50,21 @@ class MnistGenerator(nn.Module):
         ra = not train
         x = jnp.concatenate([noise, labels, code], axis=-1)
         init_size = self.img_size // 4
-        x = TorchDense(128 * init_size * init_size)(x)
+        x = TorchDense(128 * init_size * init_size, dtype=self.dtype)(x)
         x = x.reshape(x.shape[0], 128, init_size, init_size)
         x = jnp.transpose(x, (0, 2, 3, 1))  # NCHW view parity -> NHWC
 
         x = TorchBatchNorm(use_normal_init=True)(x, use_running_average=ra)
         x = upsample_nearest(x)
-        x = TorchConv(128, 3, 1, 1, use_normal_init=True)(x)
+        x = TorchConv(128, 3, 1, 1, use_normal_init=True, dtype=self.dtype)(x)
         x = TorchBatchNorm(eps=0.8, use_normal_init=True)(x, use_running_average=ra)
         x = nn.leaky_relu(x, 0.2)
         x = upsample_nearest(x)
-        x = TorchConv(64, 3, 1, 1, use_normal_init=True)(x)
+        x = TorchConv(64, 3, 1, 1, use_normal_init=True, dtype=self.dtype)(x)
         x = TorchBatchNorm(eps=0.8, use_normal_init=True)(x, use_running_average=ra)
         x = nn.leaky_relu(x, 0.2)
-        x = TorchConv(self.channels, 3, 1, 1, use_normal_init=True)(x)
-        return jnp.tanh(x)
+        x = TorchConv(self.channels, 3, 1, 1, use_normal_init=True, dtype=self.dtype)(x)
+        return jnp.tanh(x.astype(jnp.float32))
 
 
 class MnistDiscriminator(nn.Module):
@@ -70,15 +73,16 @@ class MnistDiscriminator(nn.Module):
 
     img_size: int = 32
     channels: int = 1
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, img, train: bool = True):
         x = img
         for feats in (16, 32, 64, 128):
-            x = SNConv(feats, 3, 2, 1)(x, update_stats=train)
+            x = SNConv(feats, 3, 2, 1, dtype=self.dtype)(x, update_stats=train)
             x = nn.leaky_relu(x, 0.2)
         x = x.reshape(x.shape[0], -1)
-        return SNDense(1)(x, update_stats=train)
+        return SNDense(1)(x, update_stats=train).astype(jnp.float32)
 
 
 class MnistEncoder(nn.Module):
@@ -90,16 +94,17 @@ class MnistEncoder(nn.Module):
     code_dim: int = 7
     img_size: int = 32
     channels: int = 1
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, img, train: bool = True):
         x = img
         for i, feats in enumerate((16, 32, 64, 128)):
-            x = SNConv(feats, 3, 2, 1)(x, update_stats=train)
+            x = SNConv(feats, 3, 2, 1, dtype=self.dtype)(x, update_stats=train)
             x = nn.leaky_relu(x, 0.2)
             if i > 0:
                 x = TorchBatchNorm(eps=0.8, use_normal_init=True)(x)
-        x = x.reshape(x.shape[0], -1)
+        x = x.reshape(x.shape[0], -1).astype(jnp.float32)
         label = nn.softmax(SNDense(self.n_classes)(x, update_stats=train), axis=-1)
         code = SNDense(self.code_dim)(x, update_stats=train)
         noise = SNDense(self.latent_dim)(x, update_stats=train)
