@@ -141,11 +141,16 @@ def load_mnist(
     files were absent."""
     img_path = os.path.join(data_dir, _IMAGES)
     lab_path = os.path.join(data_dir, _LABELS)
-    if download and not (
-        os.path.exists(img_path) or os.path.exists(img_path + ".gz")
-    ):
+
+    def _have(path):
+        return os.path.exists(path) or os.path.exists(path + ".gz")
+
+    # Trigger on EITHER file missing: a partially-successful earlier
+    # fetch (images landed, labels failed) must retry the labels rather
+    # than crash below or permanently shadow the synthetic fallback.
+    if download and not (_have(img_path) and _have(lab_path)):
         download_mnist(data_dir)
-    if os.path.exists(img_path) or os.path.exists(img_path + ".gz"):
+    if _have(img_path) and _have(lab_path):
         raw = _read_idx_images(img_path)
         labels = _read_idx_labels(lab_path)
     elif allow_synthetic:

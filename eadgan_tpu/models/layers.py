@@ -206,12 +206,17 @@ class TorchBatchNorm(nn.Module):
         # already computes mean/var in f32 regardless of input dtype
         # (dtype=None promotes stats), so no explicit up-cast of the
         # activations is needed around it — tests/test_bf16.py pins
-        # both contracts (stats dtype + f32-vs-bf16 agreement).
-        return nn.BatchNorm(
+        # both contracts (stats dtype + f32-vs-bf16 agreement).  The
+        # output cast keeps the layer's dtype contract: flax promotes
+        # the normalized result to f32 (f32 scale/bias), and without
+        # the cast every op between a BN and the next conv would move
+        # f32 activations on the bf16 path.
+        out = nn.BatchNorm(
             momentum=self.momentum,
             epsilon=self.eps,
             scale_init=scale_init,
         )(x, use_running_average=use_running_average)
+        return out.astype(x.dtype)
 
 
 def upsample_nearest(x: jnp.ndarray, factor: int = 2) -> jnp.ndarray:

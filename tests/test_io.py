@@ -298,3 +298,27 @@ def test_mnist_download_on_missing(tmp_path, monkeypatch):
     monkeypatch.setattr(urllib.request, "urlopen", down)
     imgs3, _ = mnist_mod.load_mnist(str(tmp_path / "off"), 32, download=True)
     assert imgs3.shape[0] == 2048
+
+    # partial earlier fetch (images present, labels missing) must not
+    # crash on the label read OR permanently shadow the fallback: with
+    # the network still down it degrades to synthetic, and once the
+    # network returns it re-fetches only the missing labels file
+    part = tmp_path / "partial"
+    part.mkdir()
+    (part / "train-images-idx3-ubyte.gz").write_bytes(blobs["train-images-idx3-ubyte.gz"])
+    monkeypatch.setattr(
+        mnist_mod,
+        "_MNIST_MD5",
+        {k: hashlib.md5(v).hexdigest() for k, v in blobs.items()},
+    )
+    imgs4, _ = mnist_mod.load_mnist(str(part), 32, download=True)
+    assert imgs4.shape[0] == 2048  # degraded, no FileNotFoundError
+    imgs5, _ = mnist_mod.load_mnist(str(part), 32, download=False)
+    assert imgs5.shape[0] == 2048  # --no_download path degrades too
+
+    calls.clear()
+    monkeypatch.setattr(urllib.request, "urlopen", fake_urlopen)
+    imgs6, labels6 = mnist_mod.load_mnist(str(part), 32, download=True)
+    assert imgs6.shape == (n, 32, 32, 1)
+    assert list(labels6) == [i % 10 for i in range(n)]
+    assert all("labels" in url for url in calls)  # images not re-fetched

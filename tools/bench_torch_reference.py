@@ -461,10 +461,15 @@ def main():
     if os.path.exists(out_path):
         with open(out_path) as f:
             result = json.load(f)
-    result.update(
-        {"batch": args.batch, "steps": args.steps, "device": device,
-         "torch": torch.__version__}
-    )
+    # measurement conditions are recorded PER PIPELINE: a later partial
+    # re-run must not relabel throughputs measured under other settings
+    result.pop("batch", None), result.pop("steps", None)
+    result.pop("device", None), result.pop("torch", None)
+    result.pop("sec_per_step", None)
+    conditions = {
+        "batch": args.batch, "steps": args.steps, "device": device,
+        "torch": torch.__version__,
+    }
 
     pipelines = (
         ["celeba", "dsprites", "mnist", "generate"]
@@ -476,16 +481,19 @@ def main():
         if name == "celeba":
             dt = _bench_celeba(args, device)
             result["celeba_train_images_per_sec"] = args.steps * B / dt
-            result["sec_per_step"] = dt / args.steps
+            result["celeba_meta"] = dict(conditions, sec_per_step=dt / args.steps)
         elif name == "dsprites":
             dt = _time_steps(make_dsprites_step(B), args.steps, args.warmup)
             result["dsprites_train_images_per_sec"] = args.steps * B / dt
+            result["dsprites_meta"] = dict(conditions)
         elif name == "mnist":
             dt = _time_steps(make_mnist_step(B), args.steps, args.warmup)
             result["mnist_train_images_per_sec"] = args.steps * B / dt
+            result["mnist_meta"] = dict(conditions)
         elif name == "generate":
             dt = _time_steps(make_generate_step(B), args.steps, args.warmup)
             result["celeba_generate_images_per_sec"] = args.steps * B / dt
+            result["generate_meta"] = dict(conditions)
 
     print(json.dumps(result))
     with open(out_path, "w") as f:
