@@ -36,8 +36,18 @@ STEPS = int(os.environ.get("BENCH_STEPS", "20"))
 os.environ.setdefault("EADGAN_WARP_PRECISION", "fast")
 
 
-def _timed_loop(step_like, init_carry, steps=STEPS, warmup=WARMUP):
-    """Time one carried step function by fori_loop length differencing."""
+def _timed_loop(step_like, init_carry, steps=STEPS, warmup=WARMUP, repeats=5):
+    """Time one carried step function by fori_loop length differencing.
+
+    ``step_like(carry) -> carry`` must make every iteration's work feed
+    the carry (train steps do: the whole updated state is the loop
+    output, so XLA can neither DCE the body nor hoist it).  The chain
+    is auto-lengthened so each timed program runs >= ~0.5 s of device
+    time, and the median of ``repeats`` difference estimates is
+    returned — the tunnel's ~35 ms dispatch jitter would otherwise
+    dominate sub-ms steps (see tools/perf_breakdown.py for the full
+    hazard list).
+    """
     import jax
     import jax.numpy as jnp
 
@@ -51,12 +61,22 @@ def _timed_loop(step_like, init_carry, steps=STEPS, warmup=WARMUP):
 
     for _ in range(warmup):
         force(run_n(1, init_carry))
-    t0 = time.perf_counter()
-    force(run_n(1, init_carry))
-    t1 = time.perf_counter()
-    force(run_n(1 + steps, init_carry))
-    t2 = time.perf_counter()
-    return ((t2 - t1) - (t1 - t0)) / steps
+
+    def estimate(n):
+        t0 = time.perf_counter()
+        force(run_n(1, init_carry))
+        t1 = time.perf_counter()
+        force(run_n(1 + n, init_carry))
+        t2 = time.perf_counter()
+        return ((t2 - t1) - (t1 - t0)) / n
+
+    dt = estimate(steps)
+    # lengthen the chain until the measured program is >= ~0.5 s
+    if dt * steps < 0.5:
+        steps = min(int(0.6 / max(dt, 1e-7)), 20000)
+        estimate(steps)  # warm the new trip count
+    ests = sorted(estimate(steps) for _ in range(repeats))
+    return ests[len(ests) // 2]
 
 
 def _baseline(key):
@@ -202,12 +222,18 @@ def bench_generate():
     code = jnp.zeros((BATCH, config.code_dim))
 
     def fwd(c):
-        z = c[0]
-        out = gen.apply(variables, z, c[1], c[2], train=False)
-        # feed the output back so the loop can't be collapsed
-        return (z + out[:, 0, 0, :1] * 0, c[1], c[2])
+        # Accumulator pattern from tools/perf_breakdown.py: the probe is
+        # a full nonlinear reduction of the output (XLA cannot narrow
+        # the generator to a slice or DCE it) and it perturbs the next
+        # iteration's input (cannot be hoisted out of the loop).  A
+        # `* 0` feedback here previously let XLA skip the forward
+        # entirely and report an above-peak number.
+        z, lab, code, acc = c
+        out = gen.apply(variables, z + acc * 1e-20, lab, code, train=False)
+        probe = jnp.sum(jnp.square(out.astype(jnp.float32)))
+        return (z, lab, code, acc + probe * 1e-20)
 
-    dt = _timed_loop(fwd, (z, lab, code))
+    dt = _timed_loop(fwd, (z, lab, code, jnp.float32(0)))
     ips = BATCH / dt
     ref = _baseline("celeba_generate_images_per_sec")
     return {

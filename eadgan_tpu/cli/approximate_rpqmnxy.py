@@ -36,7 +36,7 @@ def main(argv=None) -> None:
     )
     model = AffineApproximator()
     state = init_approximator_state(model, config, jax.random.PRNGKey(opt.seed))
-    step = make_approximator_step(model, config)
+    step = make_approximator_step(model, config, donate=True)
     logger = MetricLogger(opt.jsonl or None, print_every=1000)
 
     path = os.path.join(opt.ckpt_dir, "rpqmnxy_approximator.pt")

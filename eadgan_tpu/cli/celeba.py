@@ -78,7 +78,7 @@ def main(argv=None) -> None:
         generator, discriminator, config, jax.random.PRNGKey(opt.seed)
     )
     state = maybe_resume(state, opt.resume, opt.ckpt_dir, "celeba_train_state")
-    step = make_celeba_gan_step(generator, discriminator, config)
+    step = make_celeba_gan_step(generator, discriminator, config, donate=True)
     logger = MetricLogger(opt.jsonl or None, print_every=10)
     state_holder = [state]
     apply_g = jit_generator_apply(generator, lambda: state_holder[0].g)

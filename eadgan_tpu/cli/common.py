@@ -20,15 +20,18 @@ if os.environ.get("EADGAN_PLATFORM"):
 
 # Persistent compile cache: full-train-step compiles cost 30s-7min
 # through the remote-compile tunnel; cache them across CLI invocations
-# (same mechanism bench.py uses).
-try:
-    jax.config.update(
-        "jax_compilation_cache_dir",
-        os.environ.get("EADGAN_COMPILE_CACHE", "/tmp/eadgan_jax_cache"),
-    )
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-except Exception:
-    pass
+# (same mechanism bench.py uses).  Accelerator platforms only — CPU
+# AOT cache entries reload with machine-feature mismatch warnings and
+# a documented SIGILL risk, for compiles that are cheap anyway.
+if os.environ.get("EADGAN_PLATFORM", "tpu") != "cpu":
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.environ.get("EADGAN_COMPILE_CACHE", "/tmp/eadgan_jax_cache"),
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
 
 import numpy as np
 

@@ -103,7 +103,7 @@ def main(argv=None) -> None:
         generator, discriminator, encoder, approx_vars, config, jax.random.PRNGKey(opt.seed)
     )
     state = maybe_resume(state, opt.resume, opt.ckpt_dir, "mnist_train_state")
-    step = make_mnist_gan_step(generator, discriminator, encoder, approximator, config)
+    step = make_mnist_gan_step(generator, discriminator, encoder, approximator, config, donate=True)
     logger = MetricLogger(opt.jsonl or None)
     state_holder = [state]
     apply_g = jit_generator_apply(generator, lambda: state_holder[0].g)

@@ -94,7 +94,7 @@ def main(argv=None, colored: bool = False) -> None:
     state = init_pxy_state(encoder, config, jax.random.PRNGKey(opt.seed))
     stem_state = ("encoder_pxy_color" if colored else "encoder_pxy") + "_train_state"
     state = maybe_resume(state, opt.resume, opt.ckpt_dir, stem_state)
-    step = make_pxy_step(encoder, config)
+    step = make_pxy_step(encoder, config, donate=True)
     sampler = make_sampler(encoder, config, opt.out_dir)
     logger = MetricLogger(opt.jsonl or None)
 

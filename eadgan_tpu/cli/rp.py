@@ -113,7 +113,7 @@ def main(argv=None, colored: bool = False) -> None:
         jax.random.PRNGKey(opt.seed),
     )
     state = maybe_resume(state, opt.resume, opt.ckpt_dir, "rp_train_state")
-    step = make_sprites_gan_step(generator, discriminator, encoder, pxy_encoder, config)
+    step = make_sprites_gan_step(generator, discriminator, encoder, pxy_encoder, config, donate=True)
     logger = MetricLogger(opt.jsonl or None)
     state_holder = [state]
     apply_g = jit_generator_apply(generator, lambda: state_holder[0].g)
@@ -140,8 +140,13 @@ def main(argv=None, colored: bool = False) -> None:
     def on_batch(batches_done, state, metrics, batch):
         state_holder[0] = state
         if batches_done % (config.sample_interval * 2) == 0:
+            # render from the CURRENT state's frozen aligner params: the
+            # setup-time ``pxy_vars`` buffers were donated into the step
+            # on the first call and are dead afterwards
             align, trans = render_pair(
-                pxy_vars, batch[0][:100], jax.random.PRNGKey(batches_done)
+                {"params": state.pxy.params},
+                batch[0][:100],
+                jax.random.PRNGKey(batches_done),
             )
             sprites_training_grids(
                 lambda z_c: apply_g(z_c),

@@ -10,6 +10,7 @@ anisotropic rpqxy recovery over the first five codes (:325, :391-393).
 
 from __future__ import annotations
 
+import functools
 import jax
 import jax.numpy as jnp
 import optax
@@ -52,12 +53,17 @@ def init_celeba_gan_state(generator, discriminator, config: CelebaConfig, rng) -
     )
 
 
-def make_celeba_gan_step(generator, discriminator, config: CelebaConfig):
+def make_celeba_gan_step(generator, discriminator, config: CelebaConfig, donate: bool = False):
     tx_g = adam(config.g_lr, config.b1, config.b2)
     tx_d = adam(config.d_lr, config.b1, config.b2)
     tx_info = adam(config.info_lr, config.b1, config.b2)
 
-    @jax.jit
+    # ``donate=True`` donates the carried train state so params and
+    # Adam moments update in place on device (halves step memory).
+    # Opt-in because the caller's pre-step state buffers become
+    # invalid: the CLIs enable it; tests that inspect old params
+    # keep the copying default.
+    @functools.partial(jax.jit, donate_argnums=0 if donate else ())
     def step(state: GanTrainState, real_imgs: jnp.ndarray, fixed=None):
         """``real_imgs``: (B, 64, 64, 3) normalized to [-1, 1].
         ``fixed`` (parity tests only) injects the random draws:

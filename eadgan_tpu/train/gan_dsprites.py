@@ -20,6 +20,7 @@ through every apply in the same order torch's forward hooks fire.
 
 from __future__ import annotations
 
+import functools
 import jax
 import jax.numpy as jnp
 import optax
@@ -107,7 +108,8 @@ def distort_images(align_img, code, config: SpritesGanConfig):
 
 
 def make_sprites_gan_step(
-    generator, discriminator, encoder, pxy_encoder, config: SpritesGanConfig
+    generator, discriminator, encoder, pxy_encoder, config: SpritesGanConfig,
+    donate: bool = False,
 ):
     tx_d = adam(config.d_lr, config.b1, config.b2)
     tx_info = adam(config.lr, config.b1, config.b2)
@@ -121,7 +123,12 @@ def make_sprites_gan_step(
         onehot = jax.nn.one_hot(labels, config.n_classes)
         return code, onehot
 
-    @jax.jit
+    # ``donate=True`` donates the carried train state so params and
+    # Adam moments update in place on device (halves step memory).
+    # Opt-in because the caller's pre-step state buffers become
+    # invalid: the CLIs enable it; tests that inspect old params
+    # keep the copying default.
+    @functools.partial(jax.jit, donate_argnums=0 if donate else ())
     def step(state: GanTrainState, img: jnp.ndarray, fixed=None):
         """``fixed`` (tests/parity runs only) injects the per-phase random
         draws instead of sampling from the state PRNG:

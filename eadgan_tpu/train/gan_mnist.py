@@ -9,6 +9,7 @@ updates G and the separate encoder jointly.
 
 from __future__ import annotations
 
+import functools
 import jax
 import jax.numpy as jnp
 import optax
@@ -59,12 +60,17 @@ def init_mnist_gan_state(
     )
 
 
-def make_mnist_gan_step(generator, discriminator, encoder, approximator, config: MnistConfig):
+def make_mnist_gan_step(generator, discriminator, encoder, approximator, config: MnistConfig, donate: bool = False):
     tx_g = adam(config.lr, config.b1, config.b2)
     tx_d = adam(config.d_lr, config.b1, config.b2)
     tx_info = adam(config.lr, config.b1, config.b2)
 
-    @jax.jit
+    # ``donate=True`` donates the carried train state so params and
+    # Adam moments update in place on device (halves step memory).
+    # Opt-in because the caller's pre-step state buffers become
+    # invalid: the CLIs enable it; tests that inspect old params
+    # keep the copying default.
+    @functools.partial(jax.jit, donate_argnums=0 if donate else ())
     def step(state: GanTrainState, real_imgs: jnp.ndarray, labels: jnp.ndarray, fixed=None):
         """``real_imgs``: (B, 32, 32, 1) normalized to [-1, 1];
         ``labels``: (B,) int class ids (present for CLI parity; the

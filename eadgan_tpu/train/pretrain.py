@@ -13,6 +13,7 @@ TPU-native rebuild of the two stage-1 drivers:
 
 from __future__ import annotations
 
+import functools
 import jax
 import jax.numpy as jnp
 import optax
@@ -51,10 +52,11 @@ def init_approximator_state(model, config: ApproximatorConfig, rng) -> EncoderTr
     )
 
 
-def make_approximator_step(model, config: ApproximatorConfig):
+def make_approximator_step(model, config: ApproximatorConfig, donate: bool = False):
     tx = adam(config.lr, config.b1, config.b2)
 
-    @jax.jit
+    # donate=True: in-place state update on device (see gan_celeba.py)
+    @functools.partial(jax.jit, donate_argnums=0 if donate else ())
     def step(state: EncoderTrainState):
         rng, code_rng = jax.random.split(state.rng)
         code = jax.random.uniform(
@@ -99,14 +101,15 @@ def colorize(rng, img: jnp.ndarray) -> jnp.ndarray:
     return jnp.tile(img, (1, 1, 1, 3)) * color
 
 
-def make_pxy_step(encoder, config: PxyConfig):
+def make_pxy_step(encoder, config: PxyConfig, donate: bool = False):
     """Self-supervised (p, x, y[, r, g, b]) encoder step: warp the real
     image by a sampled code, encode both, recover the relative code in
     closed form, MSE against the sampled code."""
     tx = adam(config.lr, config.b1, config.b2)
     padding = "zeros" if config.colored else "border"  # pxy_color.py:90 vs pxy.py:93
 
-    @jax.jit
+    # donate=True: in-place state update on device (see gan_celeba.py)
+    @functools.partial(jax.jit, donate_argnums=0 if donate else ())
     def step(state: EncoderTrainState, img: jnp.ndarray):
         rng, color_rng, code_rng = jax.random.split(state.rng, 3)
         if config.colored:
