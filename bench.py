@@ -79,6 +79,22 @@ def _timed_loop(step_like, init_carry, steps=STEPS, warmup=WARMUP, repeats=5):
     return ests[len(ests) // 2]
 
 
+def _compute_dtype(jnp):
+    """BENCH_DTYPE env -> model compute dtype (None = full f32)."""
+    name = os.environ.get("BENCH_DTYPE", "bfloat16")
+    return None if name == "float32" else getattr(jnp, name)
+
+
+def _row(metric, ips, baseline_key):
+    ref = _baseline(baseline_key)
+    return {
+        "metric": metric,
+        "value": round(ips, 2),
+        "unit": "images/sec",
+        "vs_baseline": round(ips / ref, 2) if ref else None,
+    }
+
+
 def _baseline(key):
     path = os.path.join(os.path.dirname(__file__), "BASELINE_MEASURED.json")
     if os.path.exists(path):
@@ -95,8 +111,7 @@ def bench_celeba():
     from eadgan_tpu.train.config import CelebaConfig
     from eadgan_tpu.train.gan_celeba import init_celeba_gan_state, make_celeba_gan_step
 
-    dtype_name = os.environ.get("BENCH_DTYPE", "bfloat16")
-    compute_dtype = None if dtype_name == "float32" else getattr(jnp, dtype_name)
+    compute_dtype = _compute_dtype(jnp)
 
     config = CelebaConfig(batch_size=BATCH)
     generator = CelebaGenerator(dtype=compute_dtype)
@@ -108,14 +123,7 @@ def bench_celeba():
     )
 
     dt = _timed_loop(lambda c: (step(c[0], c[1])[0], c[1]), (state, imgs))
-    ips = BATCH / dt
-    ref = _baseline("celeba_train_images_per_sec")
-    return {
-        "metric": "celeba_train_images_per_sec_per_chip",
-        "value": round(ips, 2),
-        "unit": "images/sec",
-        "vs_baseline": round(ips / ref, 2) if ref else None,
-    }
+    return _row("celeba_train_images_per_sec_per_chip", BATCH / dt, "celeba_train_images_per_sec")
 
 
 def bench_dsprites():
@@ -134,8 +142,7 @@ def bench_dsprites():
         make_sprites_gan_step,
     )
 
-    dtype_name = os.environ.get("BENCH_DTYPE", "bfloat16")
-    compute_dtype = None if dtype_name == "float32" else getattr(jnp, dtype_name)
+    compute_dtype = _compute_dtype(jnp)
 
     config = SpritesGanConfig(batch_size=BATCH)
     g, d, e, pxy = (
@@ -150,14 +157,7 @@ def bench_dsprites():
     imgs = jax.random.uniform(jax.random.PRNGKey(2), (BATCH, 64, 64, 1))
 
     dt = _timed_loop(lambda c: (step(c[0], c[1])[0], c[1]), (state, imgs))
-    ips = BATCH / dt
-    ref = _baseline("dsprites_train_images_per_sec")
-    return {
-        "metric": "dsprites_rp_train_images_per_sec_per_chip",
-        "value": round(ips, 2),
-        "unit": "images/sec",
-        "vs_baseline": round(ips / ref, 2) if ref else None,
-    }
+    return _row("dsprites_rp_train_images_per_sec_per_chip", BATCH / dt, "dsprites_train_images_per_sec")
 
 
 def bench_mnist():
@@ -173,8 +173,7 @@ def bench_mnist():
     from eadgan_tpu.train.config import MnistConfig
     from eadgan_tpu.train.gan_mnist import init_mnist_gan_state, make_mnist_gan_step
 
-    dtype_name = os.environ.get("BENCH_DTYPE", "bfloat16")
-    compute_dtype = None if dtype_name == "float32" else getattr(jnp, dtype_name)
+    compute_dtype = _compute_dtype(jnp)
 
     config = MnistConfig(batch_size=BATCH)
     g = MnistGenerator(dtype=compute_dtype)
@@ -190,14 +189,7 @@ def bench_mnist():
     labels = jnp.zeros((BATCH,), jnp.int32)
 
     dt = _timed_loop(lambda c: (step(c[0], c[1], c[2])[0], c[1], c[2]), (state, imgs, labels))
-    ips = BATCH / dt
-    ref = _baseline("mnist_train_images_per_sec")
-    return {
-        "metric": "mnist_train_images_per_sec_per_chip",
-        "value": round(ips, 2),
-        "unit": "images/sec",
-        "vs_baseline": round(ips / ref, 2) if ref else None,
-    }
+    return _row("mnist_train_images_per_sec_per_chip", BATCH / dt, "mnist_train_images_per_sec")
 
 
 def bench_generate():
@@ -234,14 +226,7 @@ def bench_generate():
         return (z, lab, code, acc + probe * 1e-20)
 
     dt = _timed_loop(fwd, (z, lab, code, jnp.float32(0)))
-    ips = BATCH / dt
-    ref = _baseline("celeba_generate_images_per_sec")
-    return {
-        "metric": "celeba_generate_images_per_sec_per_chip",
-        "value": round(ips, 2),
-        "unit": "images/sec",
-        "vs_baseline": round(ips / ref, 2) if ref else None,
-    }
+    return _row("celeba_generate_images_per_sec_per_chip", BATCH / dt, "celeba_generate_images_per_sec")
 
 
 def main() -> None:

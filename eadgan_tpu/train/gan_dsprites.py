@@ -123,11 +123,7 @@ def make_sprites_gan_step(
         onehot = jax.nn.one_hot(labels, config.n_classes)
         return code, onehot
 
-    # ``donate=True`` donates the carried train state so params and
-    # Adam moments update in place on device (halves step memory).
-    # Opt-in because the caller's pre-step state buffers become
-    # invalid: the CLIs enable it; tests that inspect old params
-    # keep the copying default.
+    # donate=True: in-place state update on device (see gan_celeba.py)
     @functools.partial(jax.jit, donate_argnums=0 if donate else ())
     def step(state: GanTrainState, img: jnp.ndarray, fixed=None):
         """``fixed`` (tests/parity runs only) injects the per-phase random

@@ -65,11 +65,7 @@ def make_mnist_gan_step(generator, discriminator, encoder, approximator, config:
     tx_d = adam(config.d_lr, config.b1, config.b2)
     tx_info = adam(config.lr, config.b1, config.b2)
 
-    # ``donate=True`` donates the carried train state so params and
-    # Adam moments update in place on device (halves step memory).
-    # Opt-in because the caller's pre-step state buffers become
-    # invalid: the CLIs enable it; tests that inspect old params
-    # keep the copying default.
+    # donate=True: in-place state update on device (see gan_celeba.py)
     @functools.partial(jax.jit, donate_argnums=0 if donate else ())
     def step(state: GanTrainState, real_imgs: jnp.ndarray, labels: jnp.ndarray, fixed=None):
         """``real_imgs``: (B, 32, 32, 1) normalized to [-1, 1];

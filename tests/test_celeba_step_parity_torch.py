@@ -3,6 +3,16 @@ BCE adversarial losses on the discriminator's validity output, the info
 phase reading category/continuous heads of the same network, the info
 optimizer updating G *and* D, and the closed-form rpqxy regularizer over
 the first five codes.
+
+Two configurations of one scaffold:
+
+* reference learning rates — strict at step 0 (complete loss wiring),
+  coarse afterwards (lr=1e-3 on a ~50M-param generator amplifies
+  cross-framework float-accumulation chaos);
+* rates scaled down 10x — chaos suppressed while phase-ordering or
+  optimizer-wiring bugs would still compound, so every loss must stay
+  within 3% for THREE full steps, the same bar the dSprites topology
+  meets (VERDICT round-1 item 7).
 """
 
 import itertools
@@ -33,7 +43,6 @@ from eadgan_tpu.train.state import ModelVars  # noqa: E402
 from tests.test_torch_import import TorchCelebaD, TorchCelebaG  # noqa: E402
 
 B = 4
-STEPS = 2
 
 
 def _rpqxy_matrix(code):
@@ -66,127 +75,10 @@ def _rpqxy_regularize(real_code, trans_code):
     )
 
 
-def test_celeba_step_losses_match_torch(rng):
-    imgs = rng.uniform(-1, 1, (B, 64, 64, 3)).astype(np.float32)
-    draws = [
-        (
-            rng.normal(0, 1, (B, 200)).astype(np.float32),
-            rng.integers(0, 10, B),
-            rng.uniform(-1, 1, (B, 8)).astype(np.float32),
-        )
-        for _ in range(STEPS)
-    ]
-
-    t_g, t_d = TorchCelebaG(), TorchCelebaD()
-    t_d.train()
-    with torch.no_grad():
-        for _ in range(40):
-            t_d(torch.rand(2, 3, 64, 64))
-
-    def sd(m):
-        return {k: v.numpy().copy() for k, v in m.state_dict().items()}
-
-    g_vars = import_celeba_generator(sd(t_g))
-    d_vars = converge_sn_state(
-        CelebaDiscriminator(), import_celeba_discriminator(sd(t_d)),
-        jnp.zeros((1, 64, 64, 3)),
-    )
-
-    config = CelebaConfig(batch_size=B)
-    g, d = CelebaGenerator(), CelebaDiscriminator()
-    state = init_celeba_gan_state(g, d, config, jax.random.PRNGKey(0))
-    state = state.replace(g=ModelVars.create(g_vars), d=ModelVars.create(d_vars))
-    step = make_celeba_gan_step(g, d, config)
-
-    ours = []
-    st = state
-    for z, labels, code in draws:
-        fixed = {
-            "z": jnp.asarray(z),
-            "sampled_labels": jnp.asarray(labels),
-            "code": jnp.asarray(code),
-        }
-        st, m = step(st, jnp.asarray(imgs), fixed)
-        ours.append({k: float(v) for k, v in m.items()})
-
-    # torch loop (celebA/EAD-GAN_celebA.py:296-401)
-    opt_g = torch.optim.Adam(t_g.parameters(), lr=1e-3, betas=(0.5, 0.999))
-    opt_d = torch.optim.Adam(t_d.parameters(), lr=2e-4, betas=(0.5, 0.999))
-    opt_info = torch.optim.Adam(
-        itertools.chain(t_g.parameters(), t_d.parameters()), lr=2e-4, betas=(0.5, 0.999)
-    )
-    bce = torch.nn.BCELoss()
-    mse = torch.nn.MSELoss()
-    ce = torch.nn.CrossEntropyLoss()
-    t_img = torch.from_numpy(np.transpose(imgs, (0, 3, 1, 2)))
-
-    t_g.train()
-    t_d.train()
-    theirs = []
-    for z, labels, code in draws:
-        z = torch.from_numpy(z)
-        code = torch.from_numpy(code)
-        onehot = torch.eye(10)[labels]
-        gt = torch.from_numpy(labels.astype(np.int64))
-        valid = torch.ones(B)
-        fake = torch.zeros(B)
-
-        grid = TF.affine_grid(
-            _rpqxy_matrix(code[:, :5])[:, 0:2], t_img.size(), align_corners=False
-        )
-        scaled = TF.grid_sample(t_img, grid, padding_mode="border", align_corners=False)
-
-        gen = t_g(z, onehot, code)
-        _, _, v = t_d(gen)
-        g_loss = bce(v, valid)
-        opt_g.zero_grad()
-        g_loss.backward()
-        opt_g.step()
-
-        _, _, vr = t_d(scaled)
-        _, _, vf = t_d(gen.detach())
-        d_loss = (bce(vr, valid) + bce(vf, fake)) / 2
-        opt_d.zero_grad()
-        d_loss.backward()
-        opt_d.step()
-
-        gen = t_g(z, onehot, code)
-        pl, pc, _ = t_d(gen)
-        info_1 = ce(pl, gt) + mse(pc, code)
-        _, tc, _ = t_d(scaled)
-        _, rc, _ = t_d(t_img)
-        info = info_1 + mse(_rpqxy_regularize(rc, tc), code[:, :5])
-        opt_info.zero_grad()
-        info.backward()
-        opt_info.step()
-
-        theirs.append(
-            {"d_loss": float(d_loss), "g_loss": float(g_loss), "info_loss": float(info)}
-        )
-
-    # Step 0 validates the complete loss wiring tightly; later steps see
-    # legitimate cross-framework float-accumulation divergence amplified
-    # by CelebA's lr=1e-3 on a ~50M-param generator, so only coarse
-    # agreement is asserted there.
-    step_rtol = [2e-2] + [0.15] * (STEPS - 1)
-    for s, (a_, b_) in enumerate(zip(ours, theirs)):
-        for k in b_:
-            assert np.isfinite(a_[k]) and np.isfinite(b_[k])
-            np.testing.assert_allclose(
-                a_[k], b_[k], rtol=step_rtol[s], atol=5e-3,
-                err_msg=f"step {s} {k}: ours={a_[k]} torch={b_[k]}",
-            )
-
-
-def test_celeba_step_losses_match_torch_low_lr(rng):
-    """Chaos-suppressed 3-step parity: the reference lrs scaled down 10x
-    (g 1e-4 / d 2e-5 / info 2e-5) keep the ~50M-param generator's
-    float-accumulation divergence below the tolerance while any
-    phase-ordering or optimizer-wiring bug would still compound across
-    steps — every loss must stay within 3% for THREE full steps, the
-    same bar the dSprites topology meets (VERDICT round-1 item 7)."""
-    B = 4
-    steps = 3
+def _run_both_stacks(rng, steps, g_lr, d_lr, info_lr):
+    """Identical weights + injected draws through our jitted step and the
+    reference torch loop (celebA/EAD-GAN_celebA.py:296-401); returns
+    per-step loss dicts (ours, theirs)."""
     imgs = rng.uniform(-1, 1, (B, 64, 64, 3)).astype(np.float32)
     draws = [
         (
@@ -212,7 +104,7 @@ def test_celeba_step_losses_match_torch_low_lr(rng):
         jnp.zeros((1, 64, 64, 3)),
     )
 
-    config = CelebaConfig(batch_size=B, g_lr=1e-4, d_lr=2e-5, info_lr=2e-5)
+    config = CelebaConfig(batch_size=B, g_lr=g_lr, d_lr=d_lr, info_lr=info_lr)
     g, d = CelebaGenerator(), CelebaDiscriminator()
     state = init_celeba_gan_state(g, d, config, jax.random.PRNGKey(0))
     state = state.replace(g=ModelVars.create(g_vars), d=ModelVars.create(d_vars))
@@ -229,10 +121,11 @@ def test_celeba_step_losses_match_torch_low_lr(rng):
         st, m = step(st, jnp.asarray(imgs), fixed)
         ours.append({k: float(v) for k, v in m.items()})
 
-    opt_g = torch.optim.Adam(t_g.parameters(), lr=1e-4, betas=(0.5, 0.999))
-    opt_d = torch.optim.Adam(t_d.parameters(), lr=2e-5, betas=(0.5, 0.999))
+    opt_g = torch.optim.Adam(t_g.parameters(), lr=g_lr, betas=(0.5, 0.999))
+    opt_d = torch.optim.Adam(t_d.parameters(), lr=d_lr, betas=(0.5, 0.999))
     opt_info = torch.optim.Adam(
-        itertools.chain(t_g.parameters(), t_d.parameters()), lr=2e-5, betas=(0.5, 0.999)
+        itertools.chain(t_g.parameters(), t_d.parameters()), lr=info_lr,
+        betas=(0.5, 0.999),
     )
     bce = torch.nn.BCELoss()
     mse = torch.nn.MSELoss()
@@ -282,11 +175,27 @@ def test_celeba_step_losses_match_torch_low_lr(rng):
         theirs.append(
             {"d_loss": float(d_loss), "g_loss": float(g_loss), "info_loss": float(info)}
         )
+    return ours, theirs
 
+
+def _assert_steps_close(ours, theirs, step_rtol, atol):
     for s, (a_, b_) in enumerate(zip(ours, theirs)):
         for k in b_:
             assert np.isfinite(a_[k]) and np.isfinite(b_[k])
             np.testing.assert_allclose(
-                a_[k], b_[k], rtol=3e-2, atol=1e-3,
+                a_[k], b_[k], rtol=step_rtol[s], atol=atol,
                 err_msg=f"step {s} {k}: ours={a_[k]} torch={b_[k]}",
             )
+
+
+def test_celeba_step_losses_match_torch(rng):
+    ours, theirs = _run_both_stacks(rng, steps=2, g_lr=1e-3, d_lr=2e-4, info_lr=2e-4)
+    # Step 0 validates the complete loss wiring tightly; later steps see
+    # legitimate cross-framework float-accumulation divergence amplified
+    # by CelebA's lr=1e-3 on a ~50M-param generator.
+    _assert_steps_close(ours, theirs, [2e-2, 0.15], atol=5e-3)
+
+
+def test_celeba_step_losses_match_torch_low_lr(rng):
+    ours, theirs = _run_both_stacks(rng, steps=3, g_lr=1e-4, d_lr=2e-5, info_lr=2e-5)
+    _assert_steps_close(ours, theirs, [3e-2] * 3, atol=1e-3)
