@@ -24,6 +24,18 @@ jax.config.update("jax_platforms", "cpu")
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
+# Pin torch's intra-op thread count: parallel reductions partition by
+# thread count, so letting it float with host load makes golden/parity
+# comparisons nondeterministic at the last few ulps — enough to trip a
+# tight multi-step tolerance when the suite shares the host with other
+# work. Any fixed count is deterministic; 4 keeps the torch sides fast.
+try:
+    import torch  # noqa: E402
+
+    torch.set_num_threads(4)
+except Exception:
+    pass
+
 
 @pytest.fixture
 def rng():
