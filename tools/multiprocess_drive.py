@@ -30,7 +30,7 @@ import subprocess
 import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-DEVICES_PER_PROC = 4
+DEVICES_PER_PROC = int(os.environ.get("EADGAN_MP_DEVICES_PER_PROC", "4"))
 
 
 def _init_jax(n_local_devices: int):
