@@ -77,3 +77,21 @@ def test_pallas_odd_height_uses_unit_blocks(rng):
     ref = warp_affine(img, mat, impl="xla")
     got = warp_affine_pallas(img, mat, "border")
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+
+
+def test_pair_packed_path_matches_unpaired(rng):
+    """Even grayscale batches take the block-diagonal two-per-program
+    MXU packing; odd batches fall back to one-per-program.  Warping an
+    even batch must give exactly the same images as warping it as an
+    odd batch plus the leftover element."""
+    img = jnp.asarray(rng.uniform(0, 1, (6, 64, 64, 1)).astype(np.float32))
+    code = jnp.asarray(rng.uniform(-1, 1, (6, 4)).astype(np.float32))
+    mat = code_to_matrix(RP, code)
+    paired = warp_affine_pallas(img, mat, "border")          # n=6: packed
+    unpaired_a = warp_affine_pallas(img[:5], mat[:5], "border")  # n=5: single
+    unpaired_b = warp_affine_pallas(img[5:6], mat[5:6], "border")
+    np.testing.assert_allclose(
+        np.asarray(paired),
+        np.concatenate([np.asarray(unpaired_a), np.asarray(unpaired_b)]),
+        atol=1e-6,
+    )
