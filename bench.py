@@ -71,9 +71,18 @@ def _timed_loop(step_like, init_carry, steps=STEPS, warmup=WARMUP, repeats=5):
         return ((t2 - t1) - (t1 - t0)) / n
 
     dt = estimate(steps)
+    # Tunnel timing jitter can drive a difference estimate negative on a
+    # fast step; re-estimate rather than letting dt<0 explode the
+    # auto-lengthened chain to the 20000-step cap.
+    for _ in range(3):
+        if dt > 0:
+            break
+        dt = estimate(steps)
+    if dt <= 0:
+        dt = 1e-4  # all retries jittered: assume a fast step, bounded chain
     # lengthen the chain until the measured program is >= ~0.5 s
     if dt * steps < 0.5:
-        steps = min(int(0.6 / max(dt, 1e-7)), 20000)
+        steps = min(int(0.6 / dt), 20000)
         estimate(steps)  # warm the new trip count
     ests = sorted(estimate(steps) for _ in range(repeats))
     return ests[len(ests) // 2]

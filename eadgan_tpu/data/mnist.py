@@ -55,13 +55,13 @@ def download_mnist(data_dir: str, timeout: float = 60.0) -> bool:
         for mirror in _MNIST_MIRRORS:
             tmp = dest + ".part"
             try:
-                with urllib.request.urlopen(mirror + name, timeout=timeout) as r, open(
-                    tmp, "wb"
-                ) as f:
-                    f.write(r.read())
-                digest = hashlib.md5(open(tmp, "rb").read()).hexdigest()
+                with urllib.request.urlopen(mirror + name, timeout=timeout) as r:
+                    payload = r.read()
+                digest = hashlib.md5(payload).hexdigest()
                 if digest != md5:
                     raise IOError(f"md5 mismatch for {name}: {digest}")
+                with open(tmp, "wb") as f:
+                    f.write(payload)
                 os.replace(tmp, dest)
                 print(f"downloaded {name} from {mirror}")
                 fetched = True

@@ -48,14 +48,21 @@ __all__ = [
 ]
 
 
-def converge_sn_state(model, variables: dict, *dummy_inputs, iters: int = 30) -> dict:
+def converge_sn_state(model, variables: dict, *dummy_inputs, iters: int = 200) -> dict:
     """Converge flax's spectral-norm power iteration on imported kernels.
 
     Imported SN kernels are pre-normalized (sigma = 1), but flax divides
     by its own sigma estimate from a freshly-initialized u vector, which
-    needs a few iterations to converge (u updates depend only on the
-    kernel, not the input).  Run after any ``import_*`` whose model has
-    SN layers; returns variables with converged ``batch_stats``.
+    needs iterations to converge (u updates depend only on the kernel,
+    not the input).  Run after any ``import_*`` whose model has SN
+    layers; returns variables with converged ``batch_stats``.
+
+    ``iters`` default: power iteration converges at rate (s2/s1)^k, so
+    kernels whose top two singular values are close need many rounds —
+    30 left seed-dependent sigma errors that surfaced as ~2-3e-3 output
+    deviations in the import parity tests (an order-dependent flake
+    when torch's global RNG picked an ill-conditioned init); 200 drives
+    the worst observed deviation to ~3e-4 at negligible one-time cost.
     """
     if "batch_stats" not in variables:
         import jax

@@ -40,3 +40,21 @@ except Exception:
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
+
+
+@pytest.fixture(autouse=True)
+def _deterministic_torch_seed():
+    """Reset torch's GLOBAL RNG before every test.
+
+    Several parity tests draw weights/inputs with unseeded torch calls;
+    without this, each test's draws depend on how much torch randomness
+    *preceding* tests consumed — the round-2 order-dependent
+    test_mnist_encoder_import flake.  Seeding per-test makes every test
+    see identical draws under any suite ordering or selection.
+    """
+    try:
+        import torch as _torch
+
+        _torch.manual_seed(0)
+    except Exception:
+        pass
