@@ -79,6 +79,7 @@ def main(argv=None) -> None:
     )
     state = maybe_resume(state, opt.resume, opt.ckpt_dir, "celeba_train_state")
     step = make_celeba_gan_step(generator, discriminator, config, donate=True)
+    step_body = make_celeba_gan_step(generator, discriminator, config, jit=False)
     logger = MetricLogger(opt.jsonl or None, print_every=10)
     state_holder = [state]
     apply_g = jit_generator_apply(generator, lambda: state_holder[0].g)
@@ -137,6 +138,9 @@ def main(argv=None) -> None:
         scale=1.0 / 127.5,
         shift=-1.0,
         random_flip=True,
+        chain=opt.chain,
+        chain_periods=(config.sample_interval, config.sample_interval * 15),
+        step_body=step_body,
     )
 
 

@@ -23,7 +23,19 @@ if os.environ.get("EADGAN_PLATFORM"):
 # (same mechanism bench.py uses).  Accelerator platforms only — CPU
 # AOT cache entries reload with machine-feature mismatch warnings and
 # a documented SIGILL risk, for compiles that are cheap anyway.
-if os.environ.get("EADGAN_PLATFORM", "tpu") != "cpu":
+def _cpu_forced() -> bool:
+    """True when this process will run on CPU — either via the env escape
+    hatch or an in-process jax.config override (pytest's conftest forces
+    CPU that way and still imports this module)."""
+    if os.environ.get("EADGAN_PLATFORM") == "cpu":
+        return True
+    try:
+        return jax.config.jax_platforms == "cpu"
+    except Exception:
+        return False
+
+
+if not _cpu_forced():
     try:
         jax.config.update(
             "jax_compilation_cache_dir",
@@ -89,6 +101,15 @@ def add_run_args(parser: argparse.ArgumentParser) -> None:
         help="never fetch missing dataset archives from the network",
     )
     parser.add_argument(
+        "--chain",
+        type=int,
+        default=16,
+        help="train steps fused into one device program per dispatch "
+        "(lax.scan); amortizes the host<->device round trip. 1 = "
+        "dispatch per step (debugging; --sample_interval 1 degenerates "
+        "to the same)",
+    )
+    parser.add_argument(
         "--data_parallel",
         action="store_true",
         help="shard batches over all local devices (params replicated; "
@@ -114,6 +135,9 @@ def run_epochs(
     random_flip: bool = False,
     data_parallel: bool = False,
     profile_dir: str = "",
+    chain: int = 1,
+    chain_periods: tuple = (),
+    step_body: Optional[Callable] = None,
 ):
     """The reference's epoch/batch double loop with device prefetching.
 
@@ -125,11 +149,44 @@ def run_epochs(
     native batcher (eadgan_tpu/data/native.py) inside the prefetch
     thread — the full-dataset float copy (12 GB for dSprites) is never
     materialized.
+
+    ``chain > 1`` (with ``step_body``, the un-jitted step) switches to
+    the in-graph multi-step engine (train/chain.py): up to ``chain``
+    steps run as ONE ``lax.scan`` program per dispatch, amortizing the
+    host<->device round trip that otherwise dominates through the
+    remote-execution tunnel.  ``chain_periods`` are the side-effect
+    intervals of ``on_batch`` (sample / checkpoint); windows are clamped
+    so those step indices land exactly at window ends, where the true
+    post-step state exists — behavior is step-for-step identical to the
+    per-dispatch engine (tests/test_chain.py pins it).
     """
     from eadgan_tpu.utils import trace
 
+    # Multi-process contract: side effects (sample grids, checkpoints,
+    # log lines) run on the coordinator only — metrics are replicated
+    # scalars, the train state is replicated, so every other process
+    # would write byte-identical duplicates (parallel/multihost.py
+    # is_coordinator docstring; exercised by tools/multiprocess_drive.py
+    # --ckpt).  Trainers that must write from a callback in multi-process
+    # runs should route through parallel.save_on_coordinator.
+    from eadgan_tpu.parallel import is_coordinator
+
+    if not is_coordinator():
+        on_batch = lambda *a, **k: None  # noqa: E731
+        logger = None
+
     try:
         with trace(profile_dir or None):
+            if chain > 1 and step_body is not None:
+                return _run_epochs_chained(
+                    n_epochs=n_epochs, data=data, labels=labels,
+                    batch_size=batch_size, state=state, step_body=step_body,
+                    on_batch=on_batch, seed=seed, max_steps=max_steps,
+                    logger=logger, metric_keys=metric_keys, scale=scale,
+                    shift=shift, random_flip=random_flip,
+                    data_parallel=data_parallel, chain=chain,
+                    chain_periods=chain_periods,
+                )
             return _run_epochs_inner(
                 n_epochs=n_epochs, data=data, labels=labels, batch_size=batch_size,
                 state=state, step_fn=step_fn, on_batch=on_batch, seed=seed,
@@ -219,6 +276,198 @@ def _run_epochs_inner(
                     return state
         finally:
             iterator.close()
+    return state
+
+
+def _run_epochs_chained(
+    *, n_epochs, data, labels, batch_size, state, step_body, on_batch,
+    seed, max_steps, logger, metric_keys, scale, shift, random_flip,
+    data_parallel, chain, chain_periods,
+):
+    """In-graph multi-step engine: windows of up to ``chain`` steps run
+    as one ``lax.scan`` program (train/chain.py).
+
+    RNG-stream parity with ``_run_epochs_inner``: the epoch permutation
+    comes from the same ``host_rng`` draws, flip masks from the same
+    dedicated ``flip_rng`` stream drawn once per batch in batch order,
+    and the jitted body is the identical un-jitted step — so a chained
+    run produces the same training trajectory as the per-dispatch run.
+
+    uint8 data ships RAW (host gather only); normalize / channel axis /
+    flips move in-graph into the scan body — 4x less tunnel traffic and
+    one dispatch per window instead of per step.
+    """
+    from eadgan_tpu.train.chain import (
+        LazyHostBatch,
+        make_chained_step,
+        normalize_prepare,
+        plan_windows,
+    )
+
+    host_rng = np.random.default_rng(seed)
+    flip_rng = np.random.default_rng([seed, 0x464C4950])
+    n_batches = data.shape[0] // batch_size
+    start_step = int(jax.device_get(state.step))
+    stop = (start_step + max_steps) if max_steps else None
+
+    device_put = jax.device_put
+    if data_parallel:
+        from eadgan_tpu.parallel import default_mesh, replicate, shard_window
+
+        mesh = default_mesh()
+        state = replicate(mesh, state)
+        device_put = lambda w: shard_window(mesh, w)  # noqa: E731
+
+    use_native = data.dtype == np.uint8 and labels is None
+    if random_flip and not use_native:
+        raise ValueError("random_flip requires the uint8 label-free ingest path")
+
+    # Device-resident dataset: uint8 archives that fit HBM (real dSprites
+    # 2.9 GB, CelebA 2.4 GB vs 16 GB on v5e) are staged on device ONCE
+    # and gathered in-graph — each window then ships only int32 indices
+    # (+ flip masks) through the tunnel instead of megabytes of pixels.
+    max_resident = int(os.environ.get("EADGAN_DEVICE_DATA_MAX", 4 << 30))
+    resident_arrays = None
+    if use_native and data.nbytes <= max_resident:
+        prepare = normalize_prepare(
+            scale, shift, flip=random_flip, add_channel=data.ndim == 3,
+            gather=True,
+        )
+        resident_arrays = (data,)
+    elif use_native:
+        prepare = normalize_prepare(
+            scale, shift, flip=random_flip, add_channel=data.ndim == 3,
+        )
+    elif data.nbytes <= max_resident:
+        # pre-normalized (e.g. MNIST f32) data, with or without labels:
+        # stage everything and gather in-graph too
+        from eadgan_tpu.train.chain import gather_prepare
+
+        prepare = gather_prepare()
+        resident_arrays = (data,) if labels is None else (data, labels)
+    else:
+        prepare = None
+    use_gather = resident_arrays is not None
+    chained = make_chained_step(step_body, prepare=prepare, donate=True)
+    if use_gather:
+        if data_parallel:
+            from eadgan_tpu.parallel import replicate as _replicate
+
+            consts = tuple(_replicate(mesh, a) for a in resident_arrays)
+        else:
+            consts = tuple(jax.device_put(a) for a in resident_arrays)
+    else:
+        consts = ()
+
+    def host_batch(rows):
+        """Single-step-path-identical host materialization of one batch
+        for ``on_batch`` consumers (sample grids)."""
+        if not use_native:
+            b = data[rows].astype(np.float32) if data.dtype == np.uint8 else data[rows]
+            return (b, labels[rows]) if labels is not None else (b,)
+        from eadgan_tpu.data.native import gather_normalize, gather_normalize_flip
+
+        if random_flip:
+            return (gather_normalize_flip(data, rows[0], rows[1], scale, shift),)
+        return (gather_normalize(data, rows, scale, shift),)
+
+    batches_done = start_step
+    epoch = start_step // max(n_batches, 1)
+    while epoch < n_epochs and (stop is None or batches_done < stop):
+        perm = host_rng.permutation(data.shape[0])
+        plan = list(
+            plan_windows(batches_done, n_batches, chain, chain_periods, stop)
+        )
+
+        def windows():
+            for s, k in plan:
+                o = (s - plan[0][0]) * batch_size
+                rows = perm[o : o + k * batch_size]
+                win_shape = (k, batch_size) + data.shape[1:]
+                last_rows = rows[-batch_size:]
+                if use_native:
+                    if use_gather:
+                        # indices only; pixels gathered in-graph from the
+                        # device-resident dataset
+                        win = np.ascontiguousarray(
+                            rows.reshape(k, batch_size), np.int32
+                        )
+                    else:
+                        win = np.ascontiguousarray(data[rows]).reshape(win_shape)
+                    if random_flip:
+                        # one draw per batch, batch order — identical
+                        # flip_rng stream to the per-dispatch engine
+                        masks = np.stack(
+                            [flip_rng.random(batch_size) < 0.5 for _ in range(k)]
+                        )
+                        yield (s, k, last_rows, masks[-1]), (win, masks)
+                    else:
+                        yield (s, k, last_rows, None), (win,)
+                elif use_gather:
+                    win = np.ascontiguousarray(
+                        rows.reshape(k, batch_size), np.int32
+                    )
+                    yield (s, k, last_rows, None), (win,)
+                else:
+                    img = data[rows].reshape(win_shape)
+                    if labels is not None:
+                        lab = labels[rows].reshape(k, batch_size)
+                        yield (s, k, last_rows, None), (img, lab)
+                    else:
+                        yield (s, k, last_rows, None), (img,)
+
+        iterator = Prefetcher(
+            windows(), place=lambda item: (item[0], device_put(item[1]))
+        )
+        pending = None  # previous window's (start, k, stacked device metrics)
+
+        def drain():
+            nonlocal pending
+            if pending is None:
+                return
+            ps, pk, stacked = pending
+            pending = None
+            arrs = {m: np.asarray(v) for m, v in stacked.items()}
+            if logger is not None:
+                for i in range(pk):
+                    logger.log(
+                        ps + i, {m: arrs[m][i] for m in arrs},
+                        epoch=epoch, n_epochs=n_epochs,
+                        batch=(ps + i) % n_batches, n_batches=n_batches,
+                    )
+
+        try:
+            for (s, k, last_rows, last_mask), win_arrays in iterator:
+                state, stacked = chained(state, consts, *win_arrays)
+                if metric_keys:
+                    stacked = {m: stacked[m] for m in metric_keys}
+                # Convert the PREVIOUS window's metrics after dispatching
+                # this one — that device_get never stalls the pipeline.
+                drain()
+                pending = (s, k, stacked)
+                # tiny async slice dispatches; only read if on_batch looks
+                last_metrics = {m: v[-1] for m, v in stacked.items()}
+                if use_native and random_flip:
+                    fetch = lambda lr=last_rows, lm=last_mask: host_batch((lr, lm))[0]  # noqa: E731
+                else:
+                    fetch = lambda lr=last_rows: host_batch(lr)[0]  # noqa: E731
+                # Windows ending on a declared side-effect step materialize
+                # the host batch eagerly (sample callbacks may pass it whole
+                # into jitted functions); all other windows stay lazy and
+                # never pay the gather.
+                if any((s + k - 1) % p == 0 for p in chain_periods if p):
+                    first = fetch()
+                else:
+                    first = LazyHostBatch(fetch)
+                batch_for_cb = (first,) if labels is None else (
+                    first, labels[last_rows]
+                )
+                batches_done = s + k
+                on_batch(s + k - 1, state, last_metrics, batch_for_cb)
+            drain()
+        finally:
+            iterator.close()
+        epoch += 1
     return state
 
 

@@ -104,6 +104,7 @@ def main(argv=None) -> None:
     )
     state = maybe_resume(state, opt.resume, opt.ckpt_dir, "mnist_train_state")
     step = make_mnist_gan_step(generator, discriminator, encoder, approximator, config, donate=True)
+    step_body = make_mnist_gan_step(generator, discriminator, encoder, approximator, config, jit=False)
     logger = MetricLogger(opt.jsonl or None)
     state_holder = [state]
     apply_g = jit_generator_apply(generator, lambda: state_holder[0].g)
@@ -143,6 +144,9 @@ def main(argv=None) -> None:
         logger=logger,
         data_parallel=opt.data_parallel,
         profile_dir=opt.profile_dir,
+        chain=opt.chain,
+        chain_periods=(config.sample_interval, config.sample_interval * 10),
+        step_body=step_body,
     )
 
 

@@ -95,6 +95,7 @@ def main(argv=None, colored: bool = False) -> None:
     stem_state = ("encoder_pxy_color" if colored else "encoder_pxy") + "_train_state"
     state = maybe_resume(state, opt.resume, opt.ckpt_dir, stem_state)
     step = make_pxy_step(encoder, config, donate=True)
+    step_body = make_pxy_step(encoder, config, jit=False)
     sampler = make_sampler(encoder, config, opt.out_dir)
     logger = MetricLogger(opt.jsonl or None)
 
@@ -127,6 +128,9 @@ def main(argv=None, colored: bool = False) -> None:
         data_parallel=opt.data_parallel,
         profile_dir=opt.profile_dir,
         metric_keys=["affine_loss"],
+        chain=opt.chain,
+        chain_periods=(config.sample_interval, save_every),
+        step_body=step_body,
     )
 
 

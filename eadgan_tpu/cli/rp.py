@@ -114,6 +114,7 @@ def main(argv=None, colored: bool = False) -> None:
     )
     state = maybe_resume(state, opt.resume, opt.ckpt_dir, "rp_train_state")
     step = make_sprites_gan_step(generator, discriminator, encoder, pxy_encoder, config, donate=True)
+    step_body = make_sprites_gan_step(generator, discriminator, encoder, pxy_encoder, config, jit=False)
     logger = MetricLogger(opt.jsonl or None)
     state_holder = [state]
     apply_g = jit_generator_apply(generator, lambda: state_holder[0].g)
@@ -178,6 +179,9 @@ def main(argv=None, colored: bool = False) -> None:
         logger=logger,
         data_parallel=opt.data_parallel,
         profile_dir=opt.profile_dir,
+        chain=opt.chain,
+        chain_periods=(config.sample_interval * 2, save_every),
+        step_body=step_body,
     )
 
 

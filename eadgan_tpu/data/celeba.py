@@ -44,8 +44,10 @@ def torchvision_resize_size(w: int, h: int, size: int) -> tuple:
 
 def torchvision_center_crop_box(w: int, h: int, size: int) -> tuple:
     """(left, top, right, bottom) exactly as torchvision ``CenterCrop``:
-    ``int(round((dim - size) / 2.0))`` — rounds the half-pixel UP for odd
-    margins (round(7.5) == 8), unlike floor division."""
+    ``int(round((dim - size) / 2.0))`` — Python 3 round-half-to-even
+    (banker's rounding: round(7.5) == 8 but round(6.5) == 6), the
+    identical expression torchvision uses, so half-pixel margins stay
+    bit-exact; do NOT "simplify" to floor+1."""
     top = int(round((h - size) / 2.0))
     left = int(round((w - size) / 2.0))
     return (left, top, left + size, top + size)
@@ -98,7 +100,15 @@ def load_image_folder(
     if paths:
         imgs = np.stack([_decode_resize_crop(p, img_size) for p in paths])
     elif allow_synthetic:
-        imgs = _synthetic_faces(size=img_size, seed=seed)
+        # EADGAN_SYNTH_N scales the stand-in dataset: at the default 512
+        # images an epoch is only 4 batches of 128, which clamps the
+        # chained engine's windows (train/chain.py) far below --chain and
+        # makes soak throughput dispatch-bound in a way a real 202k-image
+        # archive never is.
+        imgs = _synthetic_faces(
+            n=int(os.environ.get("EADGAN_SYNTH_N", "512")),
+            size=img_size, seed=seed,
+        )
     else:
         raise FileNotFoundError(root)
     rng = np.random.default_rng(seed)

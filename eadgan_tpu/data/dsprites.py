@@ -95,4 +95,10 @@ def load_dsprites(data_dir: str = ".", allow_synthetic: bool = True) -> Dsprites
         )
     if not allow_synthetic:
         raise FileNotFoundError(path)
-    return synthetic_dsprites()
+    # EADGAN_SYNTH_POS widens the position grid (n_pos**2 growth) so soak
+    # epochs aren't 16 batches long — the real archive has 737,280 images
+    # (dSprites/rp.py:236-246) and never clamps the chained engine's
+    # windows the way the default 2,160-image stand-in does.
+    return synthetic_dsprites(
+        n_pos=int(os.environ.get("EADGAN_SYNTH_POS", "6"))
+    )

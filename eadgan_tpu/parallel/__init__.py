@@ -16,9 +16,13 @@ from eadgan_tpu.parallel.mesh import (
     replicate,
     shard_batch,
     shard_model_params,
+    shard_window,
 )
 from eadgan_tpu.parallel.multihost import (
     global_batch_from_host,
+    is_coordinator,
+    save_on_coordinator,
+    sync,
     host_batch_slice,
     initialize,
 )
@@ -27,9 +31,13 @@ __all__ = [
     "default_mesh",
     "batch_spec",
     "shard_batch",
+    "shard_window",
     "replicate",
     "shard_model_params",
     "initialize",
     "host_batch_slice",
     "global_batch_from_host",
+    "is_coordinator",
+    "save_on_coordinator",
+    "sync",
 ]

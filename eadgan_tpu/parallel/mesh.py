@@ -65,6 +65,22 @@ def shard_batch(mesh: Mesh, batch):
     return jax.tree.map(place, batch)
 
 
+def shard_window(mesh: Mesh, window):
+    """Place chained-step window array(s) (leading chain axis K, then the
+    batch axis) with the BATCH axis sharded over ``data`` — each scanned
+    step inside the chained program then sees the same per-device batch
+    slice the single-step path's ``shard_batch`` produces."""
+
+    def place(x):
+        if x.ndim >= 2:
+            spec = P(None, "data", *([None] * (x.ndim - 2)))
+        else:
+            spec = P(None)
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    return jax.tree.map(place, window)
+
+
 def replicate(mesh: Mesh, tree):
     """Fully replicate a pytree (params, optimizer state) over the mesh."""
     sharding = NamedSharding(mesh, P())

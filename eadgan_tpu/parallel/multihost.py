@@ -29,7 +29,14 @@ from jax.sharding import Mesh
 from eadgan_tpu.parallel.mesh import batch_spec
 from jax.sharding import NamedSharding
 
-__all__ = ["initialize", "host_batch_slice", "global_batch_from_host"]
+__all__ = [
+    "initialize",
+    "host_batch_slice",
+    "global_batch_from_host",
+    "is_coordinator",
+    "save_on_coordinator",
+    "sync",
+]
 
 # Explicit coordinator markers only.  Scheduler variables like
 # SLURM_JOB_ID or OMPI_COMM_WORLD_SIZE are deliberately NOT honored:
@@ -98,3 +105,41 @@ def global_batch_from_host(mesh: Mesh, host_local: np.ndarray):
     """
     sharding = NamedSharding(mesh, batch_spec(host_local.ndim))
     return jax.make_array_from_process_local_data(sharding, host_local)
+
+
+def is_coordinator() -> bool:
+    """True on the process that owns host-side side effects.
+
+    Multi-process checkpoint contract (SURVEY.md §5 rebuild goal): the
+    train state is replicated over the mesh, so every process holds an
+    identical host-readable copy — exactly ONE process (index 0) writes
+    checkpoints, sample grids and log lines; the msgpack files it
+    produces are therefore byte-identical to a single-process run's and
+    can be restored under ANY process count (each process reads the same
+    file and re-places it on its local mesh slice).  The orbax path
+    (train/orbax_io.py) instead lets every process participate —
+    ocp handles per-shard writes internally — so only the flax-msgpack
+    path routes through this gate.
+    """
+    return jax.process_index() == 0
+
+
+def sync(tag: str = "eadgan") -> None:
+    """Cross-process barrier (no-op single-process): keeps non-writing
+    processes alive until the coordinator finishes a checkpoint write,
+    and orders restore-after-write across processes."""
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices(tag)
+
+
+def save_on_coordinator(path: str, tree) -> None:
+    """Write ``tree`` (replicated train state) as flax msgpack from
+    process 0 only, with a barrier so no process races past an
+    incomplete file.  Single-process this degenerates to a plain save."""
+    from eadgan_tpu.train.checkpoint import save_pytree
+
+    if is_coordinator():
+        save_pytree(path, jax.device_get(tree))
+    sync("ckpt:" + path)

@@ -53,7 +53,10 @@ def init_celeba_gan_state(generator, discriminator, config: CelebaConfig, rng) -
     )
 
 
-def make_celeba_gan_step(generator, discriminator, config: CelebaConfig, donate: bool = False):
+def make_celeba_gan_step(
+    generator, discriminator, config: CelebaConfig, donate: bool = False,
+    jit: bool = True,
+):
     tx_g = adam(config.g_lr, config.b1, config.b2)
     tx_d = adam(config.d_lr, config.b1, config.b2)
     tx_info = adam(config.info_lr, config.b1, config.b2)
@@ -62,8 +65,8 @@ def make_celeba_gan_step(generator, discriminator, config: CelebaConfig, donate:
     # Adam moments update in place on device (halves step memory).
     # Opt-in because the caller's pre-step state buffers become
     # invalid: the CLIs enable it; tests that inspect old params
-    # keep the copying default.
-    @functools.partial(jax.jit, donate_argnums=0 if donate else ())
+    # keep the copying default.  ``jit=False`` returns the raw body for
+    # the chained multi-step engine (train/chain.py) to lax.scan.
     def step(state: GanTrainState, real_imgs: jnp.ndarray, fixed=None):
         """``real_imgs``: (B, 64, 64, 3) normalized to [-1, 1].
         ``fixed`` (parity tests only) injects the random draws:
@@ -162,4 +165,6 @@ def make_celeba_gan_step(generator, discriminator, config: CelebaConfig, donate:
         )
         return new_state, {"d_loss": d_loss, "g_loss": g_loss, "info_loss": info_loss}
 
-    return step
+    if not jit:
+        return step
+    return functools.partial(jax.jit, donate_argnums=0 if donate else ())(step)

@@ -109,7 +109,7 @@ def distort_images(align_img, code, config: SpritesGanConfig):
 
 def make_sprites_gan_step(
     generator, discriminator, encoder, pxy_encoder, config: SpritesGanConfig,
-    donate: bool = False,
+    donate: bool = False, jit: bool = True,
 ):
     tx_d = adam(config.d_lr, config.b1, config.b2)
     tx_info = adam(config.lr, config.b1, config.b2)
@@ -123,8 +123,8 @@ def make_sprites_gan_step(
         onehot = jax.nn.one_hot(labels, config.n_classes)
         return code, onehot
 
-    # donate=True: in-place state update on device (see gan_celeba.py)
-    @functools.partial(jax.jit, donate_argnums=0 if donate else ())
+    # donate=True: in-place state update on device (see gan_celeba.py);
+    # jit=False returns the raw body for the chained engine (train/chain.py)
     def step(state: GanTrainState, img: jnp.ndarray, fixed=None):
         """``fixed`` (tests/parity runs only) injects the per-phase random
         draws instead of sampling from the state PRNG:
@@ -239,4 +239,6 @@ def make_sprites_gan_step(
         )
         return new_state, aux["metrics"]
 
-    return step
+    if not jit:
+        return step
+    return functools.partial(jax.jit, donate_argnums=0 if donate else ())(step)

@@ -60,13 +60,12 @@ def init_mnist_gan_state(
     )
 
 
-def make_mnist_gan_step(generator, discriminator, encoder, approximator, config: MnistConfig, donate: bool = False):
+def make_mnist_gan_step(generator, discriminator, encoder, approximator, config: MnistConfig, donate: bool = False, jit: bool = True):
     tx_g = adam(config.lr, config.b1, config.b2)
     tx_d = adam(config.d_lr, config.b1, config.b2)
     tx_info = adam(config.lr, config.b1, config.b2)
 
     # donate=True: in-place state update on device (see gan_celeba.py)
-    @functools.partial(jax.jit, donate_argnums=0 if donate else ())
     def step(state: GanTrainState, real_imgs: jnp.ndarray, labels: jnp.ndarray, fixed=None):
         """``real_imgs``: (B, 32, 32, 1) normalized to [-1, 1];
         ``labels``: (B,) int class ids (present for CLI parity; the
@@ -186,4 +185,6 @@ def make_mnist_gan_step(generator, discriminator, encoder, approximator, config:
         }
         return new_state, metrics
 
-    return step
+    if not jit:
+        return step
+    return functools.partial(jax.jit, donate_argnums=0 if donate else ())(step)

@@ -52,11 +52,10 @@ def init_approximator_state(model, config: ApproximatorConfig, rng) -> EncoderTr
     )
 
 
-def make_approximator_step(model, config: ApproximatorConfig, donate: bool = False):
+def make_approximator_step(model, config: ApproximatorConfig, donate: bool = False, jit: bool = True):
     tx = adam(config.lr, config.b1, config.b2)
 
     # donate=True: in-place state update on device (see gan_celeba.py)
-    @functools.partial(jax.jit, donate_argnums=0 if donate else ())
     def step(state: EncoderTrainState):
         rng, code_rng = jax.random.split(state.rng)
         code = jax.random.uniform(
@@ -78,7 +77,9 @@ def make_approximator_step(model, config: ApproximatorConfig, donate: bool = Fal
         )
         return new_state, {"affine_loss": loss}
 
-    return step
+    if not jit:
+        return step
+    return functools.partial(jax.jit, donate_argnums=0 if donate else ())(step)
 
 
 def init_pxy_state(encoder, config: PxyConfig, rng) -> EncoderTrainState:
@@ -101,7 +102,7 @@ def colorize(rng, img: jnp.ndarray) -> jnp.ndarray:
     return jnp.tile(img, (1, 1, 1, 3)) * color
 
 
-def make_pxy_step(encoder, config: PxyConfig, donate: bool = False):
+def make_pxy_step(encoder, config: PxyConfig, donate: bool = False, jit: bool = True):
     """Self-supervised (p, x, y[, r, g, b]) encoder step: warp the real
     image by a sampled code, encode both, recover the relative code in
     closed form, MSE against the sampled code."""
@@ -109,7 +110,6 @@ def make_pxy_step(encoder, config: PxyConfig, donate: bool = False):
     padding = "zeros" if config.colored else "border"  # pxy_color.py:90 vs pxy.py:93
 
     # donate=True: in-place state update on device (see gan_celeba.py)
-    @functools.partial(jax.jit, donate_argnums=0 if donate else ())
     def step(state: EncoderTrainState, img: jnp.ndarray):
         rng, color_rng, code_rng = jax.random.split(state.rng, 3)
         if config.colored:
@@ -144,4 +144,6 @@ def make_pxy_step(encoder, config: PxyConfig, donate: bool = False):
         )
         return new_state, {"affine_loss": loss}
 
-    return step
+    if not jit:
+        return step
+    return functools.partial(jax.jit, donate_argnums=0 if donate else ())(step)

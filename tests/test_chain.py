@@ -1,0 +1,309 @@
+"""Chained multi-step engine (train/chain.py + cli/common.py):
+
+the in-graph lax.scan window must be step-for-step identical to the
+per-dispatch engine — same training trajectory, same RNG streams, same
+side-effect steps seeing the same post-step state and batch content.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from eadgan_tpu.cli.common import run_epochs
+from eadgan_tpu.data.native import gather_normalize, gather_normalize_flip
+from eadgan_tpu.models import SpritesDiscriminator, SpritesEncoder, SpritesEncoderPxy, SpritesGenerator
+from eadgan_tpu.train.chain import (
+    LazyHostBatch,
+    make_chained_step,
+    normalize_prepare,
+    plan_windows,
+)
+from eadgan_tpu.train.config import PxyConfig, SpritesGanConfig
+from eadgan_tpu.train.gan_dsprites import init_sprites_gan_state, make_sprites_gan_step
+from eadgan_tpu.train.pretrain import init_pxy_state, make_pxy_step
+
+
+# ---------------------------------------------------------------- planner
+
+
+def test_plan_windows_covers_range_and_respects_chain():
+    plan = list(plan_windows(0, 100, 16, periods=()))
+    assert sum(k for _, k in plan) == 100
+    assert all(1 <= k <= 16 for _, k in plan)
+    # power-of-two window lengths only: each distinct k is a separate
+    # XLA compile, so the planner bounds the set to log2(chain)+1
+    assert all(k & (k - 1) == 0 for _, k in plan)
+    # contiguous
+    s = 0
+    for start, k in plan:
+        assert start == s
+        s += k
+
+
+def test_plan_windows_aligns_events_to_window_ends():
+    periods = (10, 25)
+    plan = list(plan_windows(0, 100, 16, periods=periods))
+    ends = {s + k - 1 for s, k in plan}
+    for e in range(100):
+        if any(e % p == 0 for p in periods):
+            assert e in ends, f"event step {e} not at a window end"
+    assert sum(k for _, k in plan) == 100
+
+
+def test_plan_windows_stop_and_resume_offsets():
+    # resumed mid-schedule at step 37, cap at absolute step 50
+    plan = list(plan_windows(37, 100, 8, periods=(20,), stop=50))
+    assert plan[0][0] == 37
+    last_s, last_k = plan[-1]
+    assert last_s + last_k == 50
+    ends = {s + k - 1 for s, k in plan}
+    assert 40 in ends  # 40 % 20 == 0 inside the range
+
+
+def test_plan_windows_period_one_degenerates_to_single_steps():
+    plan = list(plan_windows(0, 10, 16, periods=(1,)))
+    assert [k for _, k in plan] == [1] * 10
+
+
+# ------------------------------------------------------------ prepare ops
+
+
+def test_normalize_prepare_matches_native_batcher():
+    rng = np.random.default_rng(0)
+    data = rng.integers(0, 256, (40, 8, 6), np.uint8)
+    idx = rng.permutation(40)[:10]
+    mask = rng.random(10) < 0.5
+
+    host = gather_normalize(data, idx, 1 / 127.5, -1.0)
+    prep = normalize_prepare(1 / 127.5, -1.0, flip=False, add_channel=True)
+    (dev,) = prep((), jnp.asarray(data[idx]))
+    np.testing.assert_allclose(np.asarray(dev), host, rtol=1e-6, atol=1e-6)
+
+    host_f = gather_normalize_flip(data, idx, mask, 1 / 127.5, -1.0)
+    prep_f = normalize_prepare(1 / 127.5, -1.0, flip=True, add_channel=True)
+    (dev_f,) = prep_f((), jnp.asarray(data[idx]), jnp.asarray(mask))
+    np.testing.assert_allclose(np.asarray(dev_f), host_f, rtol=1e-6, atol=1e-6)
+
+    # device-resident gather path: indices in, same pixels out
+    prep_g = normalize_prepare(
+        1 / 127.5, -1.0, flip=True, add_channel=True, gather=True
+    )
+    (dev_g,) = prep_g(
+        (jnp.asarray(data),), jnp.asarray(idx, jnp.int32), jnp.asarray(mask)
+    )
+    np.testing.assert_allclose(np.asarray(dev_g), host_f, rtol=1e-6, atol=1e-6)
+
+
+def test_gather_prepare_labeled():
+    from eadgan_tpu.train.chain import gather_prepare
+
+    rng = np.random.default_rng(5)
+    imgs = rng.random((30, 4, 4, 1)).astype(np.float32)
+    labels = rng.integers(0, 10, 30)
+    idx = np.asarray([3, 17, 29, 0], np.int32)
+    prep = gather_prepare()
+    img_b, lab_b = prep((jnp.asarray(imgs), jnp.asarray(labels)), jnp.asarray(idx))
+    np.testing.assert_allclose(np.asarray(img_b), imgs[idx], rtol=0, atol=0)
+    np.testing.assert_array_equal(np.asarray(lab_b), labels[idx])
+
+
+def test_lazy_host_batch_materializes_once():
+    calls = []
+
+    def fn():
+        calls.append(1)
+        return np.arange(12).reshape(3, 4)
+
+    lazy = LazyHostBatch(fn)
+    assert lazy[1:].shape == (2, 4)
+    assert lazy.shape == (3, 4)
+    np.testing.assert_array_equal(np.asarray(lazy), np.arange(12).reshape(3, 4))
+    assert len(calls) == 1
+
+
+# ------------------------------------------------- chained step == looped
+
+
+def _pxy_setup(seed=0):
+    config = PxyConfig(batch_size=8)
+    encoder = SpritesEncoderPxy(out_dim=3, channels=1)
+    state = init_pxy_state(encoder, config, jax.random.PRNGKey(seed))
+    return config, encoder, state
+
+
+def test_chained_pxy_step_matches_sequential():
+    config, encoder, state = _pxy_setup()
+    single = make_pxy_step(encoder, config)  # jitted, copying
+    body = make_pxy_step(encoder, config, jit=False)
+    chained = make_chained_step(body, donate=False)
+
+    rng = np.random.default_rng(1)
+    window = jnp.asarray(rng.random((5, 8, 64, 64, 1)), jnp.float32)
+
+    seq_state = state
+    seq_losses = []
+    for i in range(5):
+        seq_state, m = single(seq_state, window[i])
+        seq_losses.append(float(m["affine_loss"]))
+
+    ch_state, stacked = chained(state, (), window)
+    np.testing.assert_allclose(
+        np.asarray(stacked["affine_loss"]), seq_losses, rtol=2e-5, atol=1e-6
+    )
+    # The scan body and the per-step jit fuse differently; 1-ulp f32
+    # differences pass through Adam's m/(sqrt(v)+eps) (tiny v early in
+    # training) and grow a few orders — the tight per-step LOSS match
+    # above is the equivalence witness, the state bar below just rules
+    # out real divergence (a wrong batch/RNG stream moves params ~1e-2).
+    for a, b in zip(jax.tree.leaves(seq_state), jax.tree.leaves(ch_state)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-4
+        )
+
+
+def test_chained_sprites_gan_step_matches_sequential():
+    config = SpritesGanConfig(batch_size=8)
+    generator = SpritesGenerator(channels=1)
+    discriminator = SpritesDiscriminator(channels=1)
+    encoder = SpritesEncoder(n_classes=config.n_classes, code_dim=config.code_dim, channels=1)
+    pxy_encoder = SpritesEncoderPxy(out_dim=3, channels=1)
+    pxy_vars = pxy_encoder.init(jax.random.PRNGKey(1), jnp.zeros((1, 64, 64, 1)))
+    state = init_sprites_gan_state(
+        generator, discriminator, encoder, pxy_encoder, pxy_vars, config,
+        jax.random.PRNGKey(0),
+    )
+    single = make_sprites_gan_step(generator, discriminator, encoder, pxy_encoder, config)
+    body = make_sprites_gan_step(generator, discriminator, encoder, pxy_encoder, config, jit=False)
+    # uint8 window + in-graph normalize, as the chained CLI path ships it
+    prepare = normalize_prepare(1.0, 0.0, flip=False, add_channel=True)
+    chained = make_chained_step(body, prepare=prepare, donate=False)
+
+    rng = np.random.default_rng(2)
+    win_u8 = rng.integers(0, 2, (3, 8, 64, 64), np.uint8)
+
+    seq_state = state
+    seq = {"d_loss": [], "g_loss": [], "cat_loss": [], "cont_loss": []}
+    for i in range(3):
+        img = gather_normalize(win_u8[i], np.arange(8))
+        seq_state, m = single(seq_state, jnp.asarray(img))
+        for k in seq:
+            seq[k].append(float(m[k]))
+
+    ch_state, stacked = chained(state, (), jnp.asarray(win_u8))
+    for k in seq:
+        np.testing.assert_allclose(
+            np.asarray(stacked[k]), seq[k], rtol=2e-4, atol=1e-5
+        )
+    for a, b in zip(jax.tree.leaves(seq_state), jax.tree.leaves(ch_state)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-3, atol=5e-4
+        )
+
+
+# ---------------------------------------------- full engine equivalence
+
+
+def _run_engine(chain, events, data, seed=0, max_steps=12, flip=False, resident=True):
+    config, encoder, state = _pxy_setup(seed=7)
+    step = make_pxy_step(encoder, config)
+    body = make_pxy_step(encoder, config, jit=False)
+
+    def on_batch(batches_done, state, metrics, batch):
+        if batches_done % 4 == 0:
+            # materialize the batch exactly like the sample callbacks do
+            events.append(
+                (batches_done, np.asarray(batch[0][:2]).copy(),
+                 float(metrics["affine_loss"]))
+            )
+
+    import os
+
+    os.environ["EADGAN_DEVICE_DATA_MAX"] = str((4 << 30) if resident else 0)
+    try:
+        final = run_epochs(
+            n_epochs=50,
+            data=data,
+            labels=None,
+            batch_size=8,
+            state=state,
+            step_fn=step,
+            on_batch=on_batch,
+            seed=seed,
+            max_steps=max_steps,
+            scale=1.0 / 127.5,
+            shift=-1.0,
+            random_flip=flip,
+            chain=chain,
+            chain_periods=(4,),
+            step_body=body,
+        )
+    finally:
+        os.environ.pop("EADGAN_DEVICE_DATA_MAX", None)
+    return jax.device_get(final)
+
+
+@pytest.mark.parametrize(
+    "flip,resident",
+    [(False, True), (True, True), (True, False)],
+    ids=["gather", "gather-flip", "hostwin-flip"],
+)
+def test_run_epochs_chained_matches_per_step_engine(flip, resident):
+    rng = np.random.default_rng(3)
+    data = rng.integers(0, 256, (40, 64, 64), np.uint8)
+
+    ev1, ev5 = [], []
+    s1 = _run_engine(1, ev1, data, flip=flip)
+    s5 = _run_engine(5, ev5, data, flip=flip, resident=resident)
+
+    # same side-effect steps, same post-step batch content, and a tight
+    # per-event loss trajectory (the chaos-free equivalence witness)
+    assert [e[0] for e in ev1] == [e[0] for e in ev5]
+    for (i, b1, l1), (_, b5, l5) in zip(ev1, ev5):
+        np.testing.assert_allclose(b1, b5, rtol=1e-6, atol=1e-6)
+        np.testing.assert_allclose(l1, l5, rtol=2e-3, atol=1e-5)
+
+    # final state: fusion-difference amplification bar (see the chained
+    # step tests above)
+    assert int(s1.step) == int(s5.step) == 12
+    for a, b in zip(jax.tree.leaves(s1), jax.tree.leaves(s5)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-2, atol=1e-3
+        )
+
+
+def test_run_epochs_chained_data_parallel_matches():
+    rng = np.random.default_rng(4)
+    data = rng.integers(0, 256, (64, 64, 64), np.uint8)
+
+    ev1, ev5 = [], []
+    s1 = _run_engine(1, ev1, data, max_steps=8)
+    # chained + sharded over the 8 virtual devices
+    config, encoder, state = _pxy_setup(seed=7)
+    body = make_pxy_step(encoder, config, jit=False)
+    s5 = run_epochs(
+        n_epochs=50,
+        data=data,
+        labels=None,
+        batch_size=8,
+        state=state,
+        step_fn=make_pxy_step(encoder, config),
+        on_batch=lambda *a: None,
+        seed=0,
+        max_steps=8,
+        scale=1.0 / 127.5,
+        shift=-1.0,
+        data_parallel=True,
+        chain=4,
+        chain_periods=(4,),
+        step_body=body,
+    )
+    s5 = jax.device_get(s5)
+    assert int(s1.step) == int(s5.step) == 8
+    # DP adds psum reduction-order ulps on top of the fusion-difference
+    # amplification; Adam moment leaves near zero need the atol headroom
+    # (test_parallel pins one-step DP strictly at rtol 2e-4)
+    for a, b in zip(jax.tree.leaves(s1), jax.tree.leaves(s5)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-2, atol=3e-3
+        )
