@@ -74,28 +74,72 @@ def test_dp_matches_single_device(rng):
 
 
 def test_celeba_step_2d_mesh(rng):
-    """(data=4, model=2) mesh with output-channel-sharded large kernels."""
+    """(data=4, model=2) mesh with output-channel-sharded large kernels:
+    the tensor-parallel step must compute the SAME numbers as the
+    unsharded single-device step (same bar as DP above) — a wrong
+    collective placement that still yields finite losses fails here."""
     config = CelebaConfig(batch_size=8)
     g, d = CelebaGenerator(), CelebaDiscriminator()
-    state = init_celeba_gan_state(g, d, config, jax.random.PRNGKey(0))
+    state0 = init_celeba_gan_state(g, d, config, jax.random.PRNGKey(0))
     step = make_celeba_gan_step(g, d, config)
+    imgs_host = jnp.asarray(rng.uniform(-1, 1, (8, 64, 64, 3)).astype(np.float32))
+
+    _, metrics_single = step(state0, imgs_host)
 
     mesh = default_mesh(model_parallel=2)
     assert mesh.shape == {"data": 4, "model": 2}
-    state = replicate(mesh, state)
+    state = replicate(mesh, state0)
     state = state.replace(
         g=state.g.replace(params=shard_model_params(mesh, state.g.params)),
         d=state.d.replace(params=shard_model_params(mesh, state.d.params)),
     )
-    imgs = shard_batch(
-        mesh, jnp.asarray(rng.uniform(-1, 1, (8, 64, 64, 3)).astype(np.float32))
-    )
+    imgs = shard_batch(mesh, imgs_host)
     state, metrics = step(state, imgs)
-    for k, v in metrics.items():
-        assert np.isfinite(float(v)), k
+    for k in metrics_single:
+        np.testing.assert_allclose(
+            float(metrics_single[k]), float(metrics[k]), rtol=2e-4, atol=1e-5
+        )
     # at least one kernel actually ended up model-sharded
     shardings = [x.sharding for x in jax.tree.leaves(state.g.params)]
     assert any(not s.is_fully_replicated for s in shardings)
+
+    # The updated sharded params must match the single-device update too
+    # (catches a mis-psum'd gradient that leaves losses untouched) — but
+    # a first Adam step is lr * g/(|g|+eps): every element whose gradient
+    # is f32 cancellation noise (~1e-8) takes a NOISE-SIGNED +-lr step,
+    # and model-sharded matmuls legitimately change the contraction
+    # order.  So assert the well-conditioned form: no element moved more
+    # than a flipped Adam step (2.1*g_lr, g_lr=1e-3), and globally <0.5%
+    # of elements disagree beyond half a step — a real collective error
+    # moves whole kernels (~50% of millions of elements), while measured
+    # noise concentrates in a few hundred near-zero-gradient bias/BN
+    # entries (~0.01% globally).
+    state1, _ = step(state0, imgs_host)
+    flipped = total = 0
+    for a, b in zip(jax.tree.leaves(state1.g.params), jax.tree.leaves(state.g.params)):
+        diff = np.abs(np.asarray(a) - np.asarray(b))
+        assert diff.max() <= 2.1e-3, diff.max()
+        flipped += int((diff > 5e-4).sum())
+        total += diff.size
+    assert flipped / total < 0.005, (flipped, total)
+
+    # and the TRAJECTORY must not diverge: run two more steps from each
+    # updated state on fresh data — any systematic TP error compounds
+    # through params, BN stats and SN vectors and blows past these bars.
+    # (bars widen geometrically: the ~1e-4-scale noise-flip perturbation
+    # amplifies chaotically through GAN dynamics — measured rel drift is
+    # ~4e-3 by the third step; a systematic TP error shows O(1) at once)
+    s_ref, s_tp = state1, state
+    for rtol in (1e-3, 1e-2):
+        imgs_next = jnp.asarray(
+            rng.uniform(-1, 1, (8, 64, 64, 3)).astype(np.float32)
+        )
+        s_ref, m_ref = step(s_ref, imgs_next)
+        s_tp, m_tp = step(s_tp, shard_batch(mesh, imgs_next))
+        for k in m_ref:
+            np.testing.assert_allclose(
+                float(m_ref[k]), float(m_tp[k]), rtol=rtol, atol=1e-4
+            )
 
 
 def test_multihost_single_process_contract(rng, monkeypatch):
