@@ -534,7 +534,7 @@ def compare(ref: dict, ours: dict, atol=0.01, rtol=0.01) -> dict:
     return out
 
 
-def run_variant(variant: str, seed: int, keep: bool) -> dict:
+def run_variant(variant: str, seed: int, keep: bool, weights: str = "") -> dict:
     colored = variant == "colored"
     sandbox = f"/tmp/metric_parity_{variant}"
     if os.path.isdir(sandbox):
@@ -543,7 +543,20 @@ def run_variant(variant: str, seed: int, keep: bool) -> dict:
     print(f"[{variant}] building npz + encoders ...")
     build_npz(os.path.join(sandbox, NPZ_NAME))
     score_dir = stage_reference(sandbox, colored, seed)
-    build_torch_encoders(colored, seed, score_dir)
+    if weights:
+        # TRAINED weights (VERDICT r2 #4): reference-layout state_dicts —
+        # e.g. TPU-trained encoders exported via interop/torch_export —
+        # instead of the shaped random init; both sides consume the same
+        # files, so this exercises metric parity at trained-representation
+        # statistics (saturated heads, correlated codes).
+        pxy_name = "encoder_pxy_color_50000.pt" if colored else "encoder_pxy_50000.pt"
+        for name in (pxy_name, "encoder_500000.pt"):
+            src = os.path.join(weights, name)
+            if not os.path.exists(src):
+                raise FileNotFoundError(f"--weights dir missing {name}")
+            shutil.copy(src, os.path.join(score_dir, name))
+    else:
+        build_torch_encoders(colored, seed, score_dir)
     print(f"[{variant}] running reference scripts (torch CPU) ...")
     ref = run_reference(score_dir)
     print(f"[{variant}] running our stack (jax CPU) ...")
@@ -560,13 +573,19 @@ def main(argv=None) -> int:
     parser.add_argument("--out", default=os.path.join(REPO, "METRIC_PARITY.json"))
     parser.add_argument("--seed", type=int, default=1234)
     parser.add_argument("--keep-sandbox", action="store_true")
+    parser.add_argument(
+        "--weights", default="",
+        help="directory of reference-layout TRAINED state_dicts "
+        "(encoder_pxy[_color]_50000.pt + encoder_500000.pt) to use "
+        "instead of the shaped random init",
+    )
     opt = parser.parse_args(argv)
 
     variants = ["gray", "colored"] if opt.variant == "both" else [opt.variant]
     report = {}
     ok = True
     for variant in variants:
-        table = run_variant(variant, opt.seed, opt.keep_sandbox)
+        table = run_variant(variant, opt.seed, opt.keep_sandbox, opt.weights)
         report[variant] = table
         for k, row in table.items():
             status = "PASS" if row["pass"] else "FAIL"
@@ -574,6 +593,7 @@ def main(argv=None) -> int:
             ok &= row["pass"]
     report["tolerance"] = "abs_diff <= max(0.01, 0.01*|reference|)"
     report["seed"] = opt.seed
+    report["weights"] = opt.weights or "shaped random init (see build_torch_encoders)"
     report["all_pass"] = ok
     with open(opt.out, "w") as f:
         json.dump(report, f, indent=2)

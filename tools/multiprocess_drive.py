@@ -51,13 +51,9 @@ def _init_jax(n_local_devices: int):
     return jax
 
 
-def run_steps(n_steps: int) -> dict:
-    """Build the dSprites DP step on the global 8-device mesh, feed this
-    process's batch shard, run ``n_steps``; returns per-step metrics
-    (replicated scalars — identical on every process)."""
+def _build_dsprites():
     import jax
     import jax.numpy as jnp
-    import numpy as np
 
     from eadgan_tpu.models import (
         SpritesDiscriminator,
@@ -65,12 +61,7 @@ def run_steps(n_steps: int) -> dict:
         SpritesEncoderPxy,
         SpritesGenerator,
     )
-    from eadgan_tpu.parallel import (
-        default_mesh,
-        global_batch_from_host,
-        host_batch_slice,
-        replicate,
-    )
+    from eadgan_tpu.parallel import default_mesh, replicate
     from eadgan_tpu.train.config import SpritesGanConfig
     from eadgan_tpu.train.gan_dsprites import (
         init_sprites_gan_state,
@@ -91,26 +82,116 @@ def run_steps(n_steps: int) -> dict:
     step = make_sprites_gan_step(g, d, e, pxy, config)
 
     mesh = default_mesh()  # spans all 8 global devices in every topology
-    state = replicate(mesh, state)
+    place = lambda s: replicate(mesh, s)  # noqa: E731
+    return state, step, place, (16, 64, 64, 1)
 
-    batch = np.random.default_rng(42).uniform(0, 1, (16, 64, 64, 1)).astype(np.float32)
-    history = []
-    for i in range(n_steps):
+
+def _build_celeba2d():
+    """CelebA step on the (data=4, model=2) mesh: output-channel-sharded
+    large kernels, so the TP all-gather/reduce-scatter collectives cross
+    the PROCESS boundary in multi-process topologies (VERDICT r2 #3)."""
+    import jax
+
+    from eadgan_tpu.models import CelebaDiscriminator, CelebaGenerator
+    from eadgan_tpu.parallel import default_mesh, replicate, shard_model_params
+    from eadgan_tpu.train.config import CelebaConfig
+    from eadgan_tpu.train.gan_celeba import (
+        init_celeba_gan_state,
+        make_celeba_gan_step,
+    )
+
+    config = CelebaConfig(batch_size=16)
+    g, d = CelebaGenerator(), CelebaDiscriminator()
+    state = init_celeba_gan_state(g, d, config, jax.random.PRNGKey(0))
+    step = make_celeba_gan_step(g, d, config)
+    mesh = default_mesh(model_parallel=2)
+
+    def place(s):
+        s = replicate(mesh, s)
+        return s.replace(
+            g=s.g.replace(params=shard_model_params(mesh, s.g.params)),
+            d=s.d.replace(params=shard_model_params(mesh, s.d.params)),
+        )
+
+    return state, step, place, (16, 64, 64, 3)
+
+
+_PIPELINES = {"dsprites": _build_dsprites, "celeba2d": _build_celeba2d}
+
+
+def run_steps(
+    n_steps: int,
+    pipeline: str = "dsprites",
+    ckpt_path: str = "",
+    resume: bool = False,
+    post_steps: int = 0,
+) -> dict:
+    """Build the pipeline's step on the global 8-device mesh, feed this
+    process's batch shard, run ``n_steps``; returns per-step metrics
+    (replicated scalars — identical on every process).
+
+    Checkpoint semantics exercise (SURVEY.md §5 rebuild goal):
+    ``ckpt_path`` + ``resume=False`` saves the state after ``n_steps``
+    via :func:`eadgan_tpu.parallel.save_on_coordinator` (process 0
+    writes, barrier), then runs ``post_steps`` more.  ``resume=True``
+    instead restores that file — under WHATEVER process count this run
+    has, which may differ from the writer's — and runs the same
+    ``post_steps``; the ``post`` metric rows must match the writer's.
+    """
+    import jax
+    import numpy as np
+
+    from eadgan_tpu.parallel import (
+        default_mesh,
+        global_batch_from_host,
+        host_batch_slice,
+        save_on_coordinator,
+    )
+    from eadgan_tpu.train.checkpoint import restore_pytree
+
+    state, step, place, batch_shape = _PIPELINES[pipeline]()
+    mesh = default_mesh() if pipeline == "dsprites" else default_mesh(model_parallel=2)
+
+    if resume:
+        # every process reads the same replicated-state file and
+        # re-places it on its local slice of the mesh
+        state = restore_pytree(ckpt_path, jax.device_get(state))
+    state = place(state)
+
+    batch = np.random.default_rng(42).uniform(0, 1, batch_shape).astype(np.float32)
+    if pipeline == "celeba2d":
+        batch = batch * 2.0 - 1.0  # [-1, 1] like the real ingest
+
+    def one_step(i, st):
         full = batch if i % 2 == 0 else batch[::-1]  # vary data across steps
         local = full[host_batch_slice(full.shape[0])]
         img = global_batch_from_host(mesh, local)
-        state, metrics = step(state, img)
-        history.append({k: float(v) for k, v in sorted(metrics.items())})
+        st, metrics = step(st, img)
+        return st, {k: float(v) for k, v in sorted(metrics.items())}
+
+    history, post = [], []
+    if not resume:
+        for i in range(n_steps):
+            state, m = one_step(i, state)
+            history.append(m)
+        if ckpt_path:
+            save_on_coordinator(ckpt_path, state)
+    for i in range(n_steps, n_steps + post_steps):
+        state, m = one_step(i, state)
+        post.append(m)
     return {
         "process_count": jax.process_count(),
         "global_devices": jax.device_count(),
         "local_devices": jax.local_device_count(),
+        "pipeline": pipeline,
+        "resumed": resume,
         "steps": history,
+        "post": post,
     }
 
 
 def worker(opt) -> None:
-    _init_jax(DEVICES_PER_PROC)
+    _init_jax(opt.devices_per_proc)
     from eadgan_tpu.parallel import initialize
 
     initialize(
@@ -118,16 +199,23 @@ def worker(opt) -> None:
         num_processes=opt.num_processes,
         process_id=opt.process_id,
     )
-    result = run_steps(opt.steps)
+    result = run_steps(
+        opt.steps, pipeline=opt.pipeline, ckpt_path=opt.ckpt,
+        resume=opt.resume, post_steps=opt.post_steps,
+    )
     if opt.out and opt.process_id == 0:
         with open(opt.out, "w") as f:
             json.dump(result, f, indent=2)
-    print(f"worker {opt.process_id}: {json.dumps(result['steps'][-1])}", flush=True)
+    last = (result["post"] or result["steps"])[-1]
+    print(f"worker {opt.process_id}: {json.dumps(last)}", flush=True)
 
 
 def baseline(opt) -> None:
-    _init_jax(DEVICES_PER_PROC * opt.num_processes)
-    result = run_steps(opt.steps)
+    _init_jax(8)
+    result = run_steps(
+        opt.steps, pipeline=opt.pipeline, ckpt_path=opt.ckpt,
+        resume=False, post_steps=opt.post_steps,
+    )
     with open(opt.out, "w") as f:
         json.dump(result, f, indent=2)
     print(f"baseline: {json.dumps(result['steps'][-1])}", flush=True)
@@ -139,37 +227,68 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def launch(opt) -> int:
-    env = dict(os.environ, PYTHONPATH=f"{REPO}:{os.environ.get('PYTHONPATH', '')}")
-    me = os.path.abspath(__file__)
+def _spawn_workers(opt, env, me, *, num_processes, devices_per_proc, out,
+                   resume=False):
     port = _free_port()
-    base_out = "/tmp/eadgan_mp_baseline.json"
-    mp_out = "/tmp/eadgan_mp_proc0.json"
-
-    print("running single-process 8-device baseline ...", flush=True)
-    subprocess.run(
-        [sys.executable, me, "--baseline", "--steps", str(opt.steps), "--out", base_out],
-        env=env,
-        check=True,
-        timeout=1800,
-    )
-
-    print(f"launching {opt.num_processes} processes x {DEVICES_PER_PROC} devices ...", flush=True)
     procs = [
         subprocess.Popen(
             [
                 sys.executable, me, "--worker",
                 "--process_id", str(i),
-                "--num_processes", str(opt.num_processes),
+                "--num_processes", str(num_processes),
+                "--devices_per_proc", str(devices_per_proc),
                 "--port", str(port),
                 "--steps", str(opt.steps),
-                "--out", mp_out,
-            ],
+                "--post_steps", str(opt.post_steps),
+                "--pipeline", opt.pipeline,
+                "--ckpt", opt.ckpt,
+                "--out", out,
+            ]
+            + (["--resume"] if resume else []),
             env=env,
         )
-        for i in range(opt.num_processes)
+        for i in range(num_processes)
     ]
-    rcs = [p.wait(timeout=1800) for p in procs]
+    return [p.wait(timeout=1800) for p in procs]
+
+
+def _compare(rows, ok, tag, base_steps, multi_steps, rtol):
+    for s, (mb, mm) in enumerate(zip(base_steps, multi_steps)):
+        for k in mb:
+            diff = abs(mb[k] - mm[k])
+            tol = max(1e-5, rtol * abs(mb[k]))
+            rows.append(
+                {"phase": tag, "step": s, "metric": k, "single": mb[k],
+                 "multi": mm[k], "abs_diff": diff, "pass": diff <= tol}
+            )
+            ok &= diff <= tol
+    return ok
+
+
+def launch(opt) -> int:
+    env = dict(os.environ, PYTHONPATH=f"{REPO}:{os.environ.get('PYTHONPATH', '')}")
+    me = os.path.abspath(__file__)
+    base_out = "/tmp/eadgan_mp_baseline.json"
+    mp_out = "/tmp/eadgan_mp_proc0.json"
+    resume_out = "/tmp/eadgan_mp_resume.json"
+    if opt.ckpt and os.path.exists(opt.ckpt):
+        os.remove(opt.ckpt)
+
+    print(f"[{opt.pipeline}] single-process 8-device baseline ...", flush=True)
+    subprocess.run(
+        [sys.executable, me, "--baseline", "--steps", str(opt.steps),
+         "--post_steps", str(opt.post_steps), "--pipeline", opt.pipeline,
+         "--out", base_out],
+        env=env,
+        check=True,
+        timeout=1800,
+    )
+
+    n, dpp = opt.num_processes, opt.devices_per_proc
+    print(f"[{opt.pipeline}] launching {n} processes x {dpp} devices ...", flush=True)
+    rcs = _spawn_workers(
+        opt, env, me, num_processes=n, devices_per_proc=dpp, out=mp_out
+    )
     if any(rcs):
         print(f"FAIL: worker exit codes {rcs}")
         return 1
@@ -179,25 +298,52 @@ def launch(opt) -> int:
     with open(mp_out) as f:
         multi = json.load(f)
 
-    assert multi["process_count"] == opt.num_processes, multi
+    assert multi["process_count"] == n, multi
     assert multi["global_devices"] == 8, multi
-    assert multi["local_devices"] == DEVICES_PER_PROC, multi
+    assert multi["local_devices"] == dpp, multi
 
-    ok = True
+    # TP (celeba2d) legitimately reorders the sharded contractions; the
+    # DP pipeline must be bit-tight (same bars as tests/test_parallel.py)
+    rtol = 2e-4 if opt.pipeline == "dsprites" else 1e-3
     rows = []
-    for s, (mb, mm) in enumerate(zip(base["steps"], multi["steps"])):
-        for k in mb:
-            diff = abs(mb[k] - mm[k])
-            tol = max(1e-5, 2e-4 * abs(mb[k]))
-            rows.append(
-                {"step": s, "metric": k, "single": mb[k], "multi": mm[k],
-                 "abs_diff": diff, "pass": diff <= tol}
-            )
-            ok &= diff <= tol
+    ok = _compare(rows, True, "train", base["steps"], multi["steps"], rtol)
+
+    resume_report = None
+    if opt.ckpt and opt.post_steps:
+        # multi-process run SAVED at step `steps` (process 0 wrote it,
+        # barrier in save_on_coordinator); now restore under a DIFFERENT
+        # process count and drive the same post-ckpt schedule
+        rn, rdpp = opt.resume_processes, 8 // opt.resume_processes
+        print(
+            f"[{opt.pipeline}] resume {opt.ckpt} under {rn} processes x "
+            f"{rdpp} devices (writer had {n}) ...",
+            flush=True,
+        )
+        rcs = _spawn_workers(
+            opt, env, me, num_processes=rn, devices_per_proc=rdpp,
+            out=resume_out, resume=True,
+        )
+        if any(rcs):
+            print(f"FAIL: resume worker exit codes {rcs}")
+            return 1
+        with open(resume_out) as f:
+            res = json.load(f)
+        assert res["process_count"] == rn and res["resumed"], res
+        ok = _compare(rows, ok, "post-ckpt(writer)", base["post"], multi["post"], rtol)
+        ok = _compare(rows, ok, "post-ckpt(resume)", base["post"], res["post"], rtol)
+        resume_report = {
+            "writer_topology": f"{n} x {dpp}",
+            "resume_topology": f"{rn} x {rdpp}",
+            "ckpt": opt.ckpt,
+        }
+
     report = {
-        "topology": f"{opt.num_processes} processes x {DEVICES_PER_PROC} devices, Gloo coordinator",
+        "pipeline": opt.pipeline,
+        "topology": f"{n} processes x {dpp} devices, Gloo coordinator",
         "baseline_topology": "1 process x 8 devices",
         "steps": opt.steps,
+        "post_steps": opt.post_steps,
+        "checkpoint": resume_report,
         "comparison": rows,
         "all_pass": ok,
     }
@@ -205,8 +351,8 @@ def launch(opt) -> int:
         json.dump(report, f, indent=2)
     for r in rows:
         print(
-            f"  {'PASS' if r['pass'] else 'FAIL'} step{r['step']} {r['metric']}: "
-            f"single={r['single']:.6f} multi={r['multi']:.6f}"
+            f"  {'PASS' if r['pass'] else 'FAIL'} {r['phase']} step{r['step']} "
+            f"{r['metric']}: single={r['single']:.6f} multi={r['multi']:.6f}"
         )
     print(f"wrote {opt.out}; all_pass={ok}")
     return 0 if ok else 1
@@ -218,8 +364,28 @@ def main(argv=None) -> int:
     parser.add_argument("--baseline", action="store_true")
     parser.add_argument("--process_id", type=int, default=0)
     parser.add_argument("--num_processes", type=int, default=2)
+    parser.add_argument("--devices_per_proc", type=int, default=DEVICES_PER_PROC)
     parser.add_argument("--port", type=int, default=0)
     parser.add_argument("--steps", type=int, default=2)
+    parser.add_argument(
+        "--pipeline", choices=sorted(_PIPELINES), default="dsprites",
+        help="dsprites = DP mesh; celeba2d = (data=4, model=2) TP mesh",
+    )
+    parser.add_argument(
+        "--ckpt", default="",
+        help="exercise checkpoint semantics: save after --steps "
+        "(coordinator writes), resume under --resume_processes",
+    )
+    parser.add_argument(
+        "--post_steps", type=int, default=0,
+        help="steps to run after the checkpoint point (compared across "
+        "writer continuation and resumed run)",
+    )
+    parser.add_argument(
+        "--resume_processes", type=int, default=4,
+        help="process count for the resume phase (devices_per_proc = 8/N)",
+    )
+    parser.add_argument("--resume", action="store_true", help="(internal)")
     parser.add_argument("--out", default=os.path.join(REPO, "MULTIHOST_MP.json"))
     opt = parser.parse_args(argv)
     if opt.worker:
