@@ -154,7 +154,12 @@ def load_mnist(
         raw = _read_idx_images(img_path)
         labels = _read_idx_labels(lab_path)
     elif allow_synthetic:
-        raw, labels = _synthetic_mnist()
+        # EADGAN_SYNTH_N scales the stand-in dataset (real train split is
+        # 60k); tiny epochs clamp the chained engine's windows — see
+        # data/celeba.py.
+        raw, labels = _synthetic_mnist(
+            n=int(os.environ.get("EADGAN_SYNTH_N", "2048"))
+        )
     else:
         raise FileNotFoundError(img_path)
     resized = _resize_bilinear(raw, img_size) / 255.0

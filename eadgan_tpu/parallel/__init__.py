@@ -20,6 +20,7 @@ from eadgan_tpu.parallel.mesh import (
 )
 from eadgan_tpu.parallel.multihost import (
     global_batch_from_host,
+    host_barrier,
     is_coordinator,
     save_on_coordinator,
     sync,
@@ -40,4 +41,5 @@ __all__ = [
     "is_coordinator",
     "save_on_coordinator",
     "sync",
+    "host_barrier",
 ]

@@ -143,3 +143,21 @@ def save_on_coordinator(path: str, tree) -> None:
     if is_coordinator():
         save_pytree(path, jax.device_get(tree))
     sync("ckpt:" + path)
+
+
+def host_barrier(tag: str = "eadgan", timeout_s: int = 1800) -> None:
+    """Coordination-service (RPC-only) barrier — unlike :func:`sync`, no
+    device collective runs, so it is safe BEFORE the first collective
+    program.  Used to line ranks up after their (process-local, possibly
+    minutes-staggered) XLA compiles: Gloo's CPU collective context init
+    times out after 30s, so the first collective must be dispatched by
+    all ranks near-simultaneously.  No-op single-process."""
+    if jax.process_count() <= 1:
+        return
+    from jax._src import distributed
+
+    client = getattr(distributed.global_state, "client", None)
+    if client is None:  # pragma: no cover - initialize() always sets it
+        sync(tag)
+        return
+    client.wait_at_barrier(tag, timeout_in_ms=timeout_s * 1000)

@@ -44,10 +44,11 @@ def _init_jax(n_local_devices: int):
     import jax
 
     jax.config.update("jax_platforms", "cpu")
-    # share one compile cache across the baseline and both workers: the
-    # SPMD program over the 8-device mesh is identical in all three
-    jax.config.update("jax_compilation_cache_dir", "/tmp/eadgan_mp_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    # NO persistent compile cache here: XLA:CPU AOT entries are compiled
+    # with machine features (+prefer-no-scatter/gather) the host's
+    # feature detection doesn't report, so every load warns "could lead
+    # to SIGILL" and falls back — pure noise + the documented crash risk
+    # (same reason cli/common.py gates its cache to accelerators).
     return jax
 
 
@@ -162,11 +163,37 @@ def run_steps(
     if pipeline == "celeba2d":
         batch = batch * 2.0 - 1.0  # [-1, 1] like the real ingest
 
+    # Compile is process-LOCAL and (on a contended CPU) can stagger ranks
+    # by minutes; Gloo's collective context init times out 30s after the
+    # first rank dispatches.  AOT-compile the step (tracing/compiling runs
+    # no collectives), then line every rank up on an RPC-only barrier so
+    # the first collective dispatches near-simultaneously everywhere.
+    # The output state's shardings are pinned to the input placement
+    # (XLA otherwise returns e.g. BN vectors model-sharded after the TP
+    # backward, and the executable rejects them as next-call inputs).
+    from eadgan_tpu.parallel import host_barrier
+
+    state_sh = jax.tree.map(lambda x: x.sharding, state)
+
+    @jax.jit
+    def step_pinned(st, img):
+        st2, m = step(st, img)
+        st2 = jax.tree.map(
+            lambda x, s: jax.lax.with_sharding_constraint(x, s), st2, state_sh
+        )
+        return st2, m
+
+    local0 = batch[host_batch_slice(batch.shape[0])]
+    compiled = step_pinned.lower(
+        state, global_batch_from_host(mesh, local0)
+    ).compile()
+    host_barrier("eadgan_mp_warm")
+
     def one_step(i, st):
         full = batch if i % 2 == 0 else batch[::-1]  # vary data across steps
         local = full[host_batch_slice(full.shape[0])]
         img = global_batch_from_host(mesh, local)
-        st, metrics = step(st, img)
+        st, metrics = compiled(st, img)
         return st, {k: float(v) for k, v in sorted(metrics.items())}
 
     history, post = [], []
@@ -302,9 +329,13 @@ def launch(opt) -> int:
     assert multi["global_devices"] == 8, multi
     assert multi["local_devices"] == dpp, multi
 
-    # TP (celeba2d) legitimately reorders the sharded contractions; the
-    # DP pipeline must be bit-tight (same bars as tests/test_parallel.py)
-    rtol = 2e-4 if opt.pipeline == "dsprites" else 1e-3
+    # TP (celeba2d) legitimately reorders the sharded contractions, and
+    # that noise amplifies chaotically through the GAN trajectory
+    # (measured rel drift ~4e-3 by step 3-4 — same bars as
+    # tests/test_parallel.py's trajectory check); the DP pipeline must be
+    # bit-tight at every step.
+    dp = opt.pipeline == "dsprites"
+    rtol, rtol_post = (2e-4, 2e-4) if dp else (1e-3, 1e-2)
     rows = []
     ok = _compare(rows, True, "train", base["steps"], multi["steps"], rtol)
 
@@ -329,8 +360,12 @@ def launch(opt) -> int:
         with open(resume_out) as f:
             res = json.load(f)
         assert res["process_count"] == rn and res["resumed"], res
-        ok = _compare(rows, ok, "post-ckpt(writer)", base["post"], multi["post"], rtol)
-        ok = _compare(rows, ok, "post-ckpt(resume)", base["post"], res["post"], rtol)
+        ok = _compare(rows, ok, "post-ckpt(writer)", base["post"], multi["post"], rtol_post)
+        ok = _compare(rows, ok, "post-ckpt(resume)", base["post"], res["post"], rtol_post)
+        # the resume drift must match the writer-continuation drift in
+        # magnitude — a broken restore diverges like a fresh init (O(1)),
+        # not like reduction-order noise
+        ok = _compare(rows, ok, "resume-vs-writer", multi["post"], res["post"], rtol_post)
         resume_report = {
             "writer_topology": f"{n} x {dpp}",
             "resume_topology": f"{rn} x {rdpp}",
