@@ -299,6 +299,7 @@ def _run_epochs_chained(
     """
     from eadgan_tpu.train.chain import (
         LazyHostBatch,
+        LazyLastMetrics,
         make_chained_step,
         normalize_prepare,
         plan_windows,
@@ -348,7 +349,15 @@ def _run_epochs_chained(
     else:
         prepare = None
     use_gather = resident_arrays is not None
-    chained = make_chained_step(step_body, prepare=prepare, donate=True)
+    # Packed metrics: with an explicit key order every window returns ONE
+    # (K, M) f32 array instead of a dict of M arrays — one metric fetch
+    # RTT per window instead of M, and no eager [-1] slice dispatches
+    # (those would enqueue behind the NEXT window's scan and stall the
+    # host a full window per iteration; see train/chain.py docstrings).
+    pack_keys = tuple(metric_keys) if metric_keys else None
+    chained = make_chained_step(
+        step_body, prepare=prepare, donate=True, pack_keys=pack_keys
+    )
     if use_gather:
         if data_parallel:
             from eadgan_tpu.parallel import replicate as _replicate
@@ -427,7 +436,11 @@ def _run_epochs_chained(
                 return
             ps, pk, stacked = pending
             pending = None
-            arrs = {m: np.asarray(v) for m, v in stacked.items()}
+            if pack_keys is not None:
+                rows = np.asarray(stacked)  # ONE (K, M) fetch
+                arrs = {m: rows[:, j] for j, m in enumerate(pack_keys)}
+            else:
+                arrs = {m: np.asarray(v) for m, v in stacked.items()}
             if logger is not None:
                 for i in range(pk):
                     logger.log(
@@ -439,14 +452,16 @@ def _run_epochs_chained(
         try:
             for (s, k, last_rows, last_mask), win_arrays in iterator:
                 state, stacked = chained(state, consts, *win_arrays)
-                if metric_keys:
-                    stacked = {m: stacked[m] for m in metric_keys}
                 # Convert the PREVIOUS window's metrics after dispatching
                 # this one — that device_get never stalls the pipeline.
                 drain()
                 pending = (s, k, stacked)
-                # tiny async slice dispatches; only read if on_batch looks
-                last_metrics = {m: v[-1] for m, v in stacked.items()}
+                if pack_keys is not None:
+                    # no device work unless a callback actually reads it
+                    last_metrics = LazyLastMetrics(pack_keys, stacked)
+                else:
+                    # tiny async slice dispatches; only read if on_batch looks
+                    last_metrics = {m: v[-1] for m, v in stacked.items()}
                 if use_native and random_flip:
                     fetch = lambda lr=last_rows, lm=last_mask: host_batch((lr, lm))[0]  # noqa: E731
                 else:

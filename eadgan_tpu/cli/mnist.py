@@ -144,6 +144,9 @@ def main(argv=None) -> None:
         logger=logger,
         data_parallel=opt.data_parallel,
         profile_dir=opt.profile_dir,
+        # full metric set of the MNIST step — enables the packed
+        # chained-metric path (train/chain.py)
+        metric_keys=["d_loss", "g_loss", "info_loss"],
         chain=opt.chain,
         chain_periods=(config.sample_interval, config.sample_interval * 10),
         step_body=step_body,

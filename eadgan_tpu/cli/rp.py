@@ -179,6 +179,13 @@ def main(argv=None, colored: bool = False) -> None:
         logger=logger,
         data_parallel=opt.data_parallel,
         profile_dir=opt.profile_dir,
+        # full metric set of the dSprites step, in emission order — the
+        # explicit list enables the packed (K, M) chained-metric path
+        # (one fetch RTT per window instead of six)
+        metric_keys=[
+            "d_loss", "g_loss", "cat_loss", "cont_loss",
+            "affine_loss", "relative_cat_loss",
+        ],
         chain=opt.chain,
         chain_periods=(config.sample_interval * 2, save_every),
         step_body=step_body,

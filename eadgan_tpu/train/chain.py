@@ -32,13 +32,19 @@ from typing import Callable, Iterator, Optional, Sequence, Tuple
 
 import jax
 
-__all__ = ["make_chained_step", "plan_windows", "normalize_prepare"]
+__all__ = [
+    "make_chained_step",
+    "plan_windows",
+    "normalize_prepare",
+    "LazyLastMetrics",
+]
 
 
 def make_chained_step(
     body: Callable,
     prepare: Optional[Callable] = None,
     donate: bool = True,
+    pack_keys: Optional[Sequence[str]] = None,
 ):
     """Wrap an un-jitted step ``body(state, *batch) -> (state, metrics)``
     into a jitted ``chained(state, consts, *windows) ->
@@ -54,7 +60,15 @@ def make_chained_step(
     The returned metrics are stacked over K.  One jitted function serves
     every K — each distinct window length retraces once and lands in the
     persistent compile cache.
+
+    ``pack_keys`` (an ordered metric-name sequence) switches the metric
+    return from a dict of K-vectors to ONE ``(K, len(pack_keys))`` f32
+    array.  Through the remote-execution tunnel every per-array fetch is
+    a host round trip, so a 6-metric step pays 6 RTTs per window in dict
+    form but exactly one in packed form — that difference is what
+    throttled the round-2 soaks to ~60% of the benched step rate.
     """
+    import jax.numpy as jnp
 
     @functools.partial(jax.jit, donate_argnums=(0,) if donate else ())
     def chained(state, consts, *windows):
@@ -63,6 +77,10 @@ def make_chained_step(
             if not isinstance(batch, tuple):
                 batch = (batch,)
             new_state, metrics = body(carry, *batch)
+            if pack_keys is not None:
+                metrics = jnp.stack(
+                    [jnp.asarray(metrics[k], jnp.float32) for k in pack_keys]
+                )
             return new_state, metrics
 
         return jax.lax.scan(f, state, windows)
@@ -180,6 +198,44 @@ def plan_windows(
         k = 1 << (k.bit_length() - 1)  # largest power of two <= k
         yield s, k
         s += k
+
+
+class LazyLastMetrics:
+    """Dict-like view of the LAST step's metrics in a packed ``(K, M)``
+    device array.  Most windows never read per-step metrics (the console
+    line comes from the logger's drained host copy), so fetching eagerly
+    would cost one tunnel round trip per window — and slicing ``[-1]``
+    eagerly would enqueue a tiny program BEHIND the next window's
+    already-dispatched K-step scan, stalling the host a full window.
+    First key access fetches the whole packed array once and caches it."""
+
+    def __init__(self, keys: Sequence[str], packed):
+        self._keys = tuple(keys)
+        self._packed = packed
+        self._row = None
+
+    def _fetch(self):
+        if self._row is None:
+            import numpy as np
+
+            self._row = np.asarray(self._packed)[-1]
+        return self._row
+
+    def __getitem__(self, key):
+        return self._fetch()[self._keys.index(key)]
+
+    def __iter__(self):
+        return iter(self._keys)
+
+    def __len__(self):
+        return len(self._keys)
+
+    def keys(self):
+        return self._keys
+
+    def items(self):
+        row = self._fetch()
+        return [(k, row[i]) for i, k in enumerate(self._keys)]
 
 
 class LazyHostBatch:

@@ -29,6 +29,10 @@ from eadgan_tpu.transforms.affine import (
     regularize,
     regularize_matrix,
 )
+from eadgan_tpu.transforms.neural import (
+    flatten_matrix_2x3,
+    regularize_neural,
+)
 from eadgan_tpu.transforms.color import (
     apply_color,
     color_code_to_gain,
@@ -53,6 +57,8 @@ __all__ = [
     "pxy_align_matrix",
     "regularize",
     "regularize_matrix",
+    "flatten_matrix_2x3",
+    "regularize_neural",
     "apply_color",
     "color_code_to_gain",
     "gain_to_color_code",

@@ -122,6 +122,40 @@ def test_lazy_host_batch_materializes_once():
     assert len(calls) == 1
 
 
+def test_lazy_last_metrics_fetches_once_and_maps_keys():
+    from eadgan_tpu.train.chain import LazyLastMetrics
+
+    packed = jnp.asarray(np.arange(12, dtype=np.float32).reshape(4, 3))
+    lazy = LazyLastMetrics(("a", "b", "c"), packed)
+    assert float(lazy["b"]) == 10.0
+    assert float(lazy["a"]) == 9.0
+    assert list(lazy.keys()) == ["a", "b", "c"]
+    assert dict(lazy.items()) == {"a": 9.0, "b": 10.0, "c": 11.0}
+
+
+def test_chained_step_packed_metrics_match_dict():
+    """pack_keys returns the same numbers as the dict form, as one
+    (K, M) f32 array in the given key order."""
+    config, encoder, state = _pxy_setup()
+    body = make_pxy_step(encoder, config, jit=False)
+    chained_dict = make_chained_step(body, donate=False)
+    chained_packed = make_chained_step(
+        body, donate=False, pack_keys=("affine_loss",)
+    )
+
+    rng = np.random.default_rng(6)
+    window = jnp.asarray(rng.random((4, 8, 64, 64, 1)), jnp.float32)
+
+    _, stacked = chained_dict(state, (), window)
+    _, packed = chained_packed(state, (), window)
+    assert packed.shape == (4, 1)
+    assert packed.dtype == jnp.float32
+    np.testing.assert_allclose(
+        np.asarray(packed)[:, 0], np.asarray(stacked["affine_loss"]),
+        rtol=1e-6, atol=0,
+    )
+
+
 # ------------------------------------------------- chained step == looped
 
 
@@ -234,6 +268,10 @@ def _run_engine(chain, events, data, seed=0, max_steps=12, flip=False, resident=
             scale=1.0 / 127.5,
             shift=-1.0,
             random_flip=flip,
+            # explicit key -> the packed (K, M) chained-metric path, as
+            # every production CLI now runs it; on_batch's metric read
+            # goes through LazyLastMetrics
+            metric_keys=["affine_loss"],
             chain=chain,
             chain_periods=(4,),
             step_body=body,

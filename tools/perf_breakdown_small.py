@@ -63,6 +63,43 @@ def timed(fn, *args, steps=500, warmup=2, repeats=5):
     return est[len(est) // 2]
 
 
+def timed_carry(fn, carry, *args, steps=300):
+    """Time ``fn(carry, *args) -> (new_carry, probe)`` with the carry fed
+    back each iteration — the SERIAL measurement.  The plain ``timed``
+    harness keeps params constant across iterations, so consecutive
+    iterations are data-independent and the TPU pipelines them
+    concurrently, UNDER-reporting a phase's cost inside the real step
+    (whose carried params serialize every iteration)."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def run_n(n, carry, args):
+        def body(i, c):
+            carry, acc = c
+            new_carry, probe = fn(carry, *args)
+            return (new_carry, acc + probe * 1e-12)
+
+        return jax.lax.fori_loop(0, n, body, (carry, jnp.float32(0)))
+
+    def force(out):
+        return float(out[1])
+
+    for _ in range(2):
+        force(run_n(1, carry, args))
+        force(run_n(1 + steps, carry, args))
+    est = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        force(run_n(1, carry, args))
+        t1 = time.perf_counter()
+        force(run_n(1 + steps, carry, args))
+        t2 = time.perf_counter()
+        est.append(((t2 - t1) - (t1 - t0)) / steps)
+    est.sort()
+    return est[len(est) // 2]
+
+
 def timed_step(step, state, *batch, steps=200):
     """Full train step: thread the true state through the loop."""
     import jax
@@ -222,6 +259,107 @@ def bench_dsprites(B, report, want):
             timed(f, state, align_img, trans_img, z_c, code, onehot, steps=300),
         )
 
+    if want("serial"):
+        # Serial-carry phase timings: params update feeds the next
+        # iteration, as in the real step.  The delta vs the constant-
+        # param ``timed`` rows is cross-iteration pipelining the
+        # isolated measurements wrongly enjoy.
+        def f(carry, trans_img, gen_imgs):
+            d_params, opt_d_s = carry
+
+            def loss_fn(dp):
+                dv = state.d.replace(params=dp)
+                d_real, ds = apply_model(d, dv, trans_img)
+                d_fake, ds = apply_model(d, dv.replace(stats=ds), gen_imgs)
+                return (
+                    bce_loss(d_real, jnp.ones_like(d_real))
+                    + bce_loss(d_fake, jnp.zeros_like(d_fake))
+                ) / 2.0, ds
+
+            (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(d_params)
+            up, opt_d_s = tx_d.update(grads, opt_d_s, d_params)
+            return (optax.apply_updates(d_params, up), opt_d_s), loss
+
+        report(
+            "ds_d_phase_serial",
+            timed_carry(f, (state.d.params, state.opt_d), trans_img, gen_imgs),
+        )
+
+        def f2(carry, align_img, trans_img, z_c, code, onehot):
+            params, opt_i = carry
+
+            def loss_fn(params):
+                gv = state.g.replace(params=params["g"])
+                ev = state.e.replace(params=params["e"])
+                gen, _ = apply_model(g, gv, z_c)
+                (rec_cat, rec_cont), es = apply_model(e, ev, gen)
+                g_fake, _ = apply_model(d, state.d, gen)
+                g_loss = bce_loss(g_fake, jnp.ones_like(g_fake))
+                cat_loss = mutual_info_loss(rec_cat, onehot)
+                cont_loss = mse_loss(rec_cont, code)
+                (a_cat, a_cont), es = apply_model(e, ev.replace(stats=es), align_img)
+                (t_cat, t_cont), es = apply_model(e, ev.replace(stats=es), trans_img)
+                rec = regularize(RP, a_cont[:, :4], t_cont[:, :4])
+                affine_loss = mse_loss(rec, code)
+                rel = mutual_info_loss(t_cat, jax.lax.stop_gradient(a_cat))
+                return cat_loss + cont_loss + affine_loss + g_loss + rel
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            up, opt_i = tx_info.update(grads, opt_i, params)
+            return (optax.apply_updates(params, up), opt_i), loss
+
+        report(
+            "ds_info_phase_serial",
+            timed_carry(
+                f2,
+                ({"g": state.g.params, "e": state.e.params}, state.opt_info),
+                align_img, trans_img, z_c, code, onehot,
+            ),
+        )
+
+    if want("ablate"):
+        # Ablations on the REAL step — the deltas attribute what the
+        # reconstructed phases structurally miss (loop-carry bookkeeping,
+        # in-step RNG sampling, warps in fused context vs isolated).
+
+        # (a) carry-only: thread the identical state pytree through the
+        # fori_loop with no compute — the harness/engine floor.
+        def carry_body(st, im):
+            return st.replace(step=st.step + 1), {
+                "d_loss": jnp.sum(im) * jnp.float32(1e-9)
+            }
+
+        report("ds_carry_only", timed_step(carry_body, state, img))
+
+        # (b) fixed injected codes: the step minus its two in-step
+        # sample_inputs draws (split + uniform + randint + one_hot).
+        code2 = jax.random.uniform(
+            jax.random.PRNGKey(7), (B, config.code_dim), minval=-1, maxval=1
+        )
+        fixed = {
+            "code_d": code, "onehot_d": onehot,
+            "code_i": code2, "onehot_i": onehot,
+        }
+        body = make_sprites_gan_step(g, d, e, pxy, config, jit=False)
+
+        def step_fixed(st, im):
+            return body(st, im, fixed=fixed)
+
+        report("ds_full_step_fixed", timed_step(step_fixed, state, img))
+
+        # (c) identity warps: the step minus all three warp_affine calls
+        # (align inverse + two distorts), measured IN CONTEXT — compare
+        # against 3x ds_warp_single for fusion-seam effects.
+        import eadgan_tpu.train.gan_dsprites as _gd
+
+        orig_warp = _gd.warp_affine
+        try:
+            _gd.warp_affine = lambda im, m, padding_mode="zeros": im
+            step_nowarp = make_sprites_gan_step(g, d, e, pxy, config)
+            report("ds_full_step_nowarp", timed_step(step_nowarp, state, img))
+        finally:
+            _gd.warp_affine = orig_warp
+
 
 def bench_mnist(B, report, want):
     import jax
@@ -376,17 +514,41 @@ def main() -> None:
         bench_dsprites(opt.batch, report, want)
         phases = [k for k in results if k.startswith("ds_") and
                   ("phase" in k or k == "ds_align")]
+        # When the serial-carry variants ran, they REPLACE the constant-
+        # param ones in the accounting (the real step carries params
+        # serially, so the serial number is the in-context cost; summing
+        # both double-counts the phase).
+        if "ds_d_phase_serial" in results:
+            phases = [k for k in phases
+                      if k not in ("ds_d_phase+adam", "ds_info_phase+adam")]
         if "ds_full_step" in results and phases:
             total = sum(results[k]["ms"] for k in phases)
-            # the D and info phases each redo one distort warp in-graph
             full = results["ds_full_step"]["ms"]
+            # Components the real step runs OUTSIDE the three timed
+            # phases (train/gan_dsprites.py): the D-phase G forward
+            # (gen_imgs) and the two distort warps (trans_img,
+            # trans_img_i); the align warp is inside ds_align.
+            extras = {}
+            if "ds_g_fwd" in results:
+                extras["g_fwd"] = results["ds_g_fwd"]["ms"]
+            if "ds_warp_single" in results:
+                extras["distort_warps_x2"] = 2 * results["ds_warp_single"]["ms"]
+            accounted = total + sum(extras.values())
             summary = {
                 "pipeline": "dsprites",
                 "full_step_ms": full,
                 "sum_of_phases_ms": round(total, 4),
                 "phases": phases,
-                "residual_ms": round(full - total, 4),
+                "extras_ms": {k: round(v, 4) for k, v in extras.items()},
+                "accounted_ms": round(accounted, 4),
+                "residual_ms": round(full - accounted, 4),
             }
+            for abl in (
+                "ds_carry_only", "ds_full_step_fixed", "ds_full_step_nowarp",
+                "ds_d_phase_serial", "ds_info_phase_serial",
+            ):
+                if abl in results:
+                    summary[abl + "_ms"] = results[abl]["ms"]
             results["ds_summary"] = summary
             print(json.dumps(summary), flush=True)
 
@@ -396,12 +558,19 @@ def main() -> None:
         if "mn_full_step" in results and phases:
             total = sum(results[k]["ms"] for k in phases)
             full = results["mn_full_step"]["ms"]
+            # the real step also runs one distort warp outside the phases
+            extras = {}
+            if "mn_warp" in results:
+                extras["distort_warp"] = results["mn_warp"]["ms"]
+            accounted = total + sum(extras.values())
             summary = {
                 "pipeline": "mnist",
                 "full_step_ms": full,
                 "sum_of_phases_ms": round(total, 4),
                 "phases": phases,
-                "residual_ms": round(full - total, 4),
+                "extras_ms": {k: round(v, 4) for k, v in extras.items()},
+                "accounted_ms": round(accounted, 4),
+                "residual_ms": round(full - accounted, 4),
             }
             results["mn_summary"] = summary
             print(json.dumps(summary), flush=True)
