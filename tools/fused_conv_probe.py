@@ -196,10 +196,20 @@ def main():
           flush=True)
     assert err / denom < 2e-2, "pallas fused conv does not match XLA"
 
+    # timed() feeds an anti-hoist accumulator as the first argument —
+    # perturb x with it so the loop body is not loop-invariant.
+    def perturb(acc, x):
+        return (x + acc).astype(bf16)
+
     report("xla_conv_only", timed(
-        lambda x, w: xla_conv(x, w).astype(bf16), x, w, steps=opt.steps))
-    report("xla_conv_bias_lrelu", timed(xla_conv_lrelu, x, w, b, steps=opt.steps))
-    report("pallas_fused", timed(fused_conv_lrelu_pallas, x, w, b, steps=opt.steps))
+        lambda acc, x, w: xla_conv(perturb(acc, x), w).astype(bf16),
+        x, w, steps=opt.steps))
+    report("xla_conv_bias_lrelu", timed(
+        lambda acc, x, w, b: xla_conv_lrelu(perturb(acc, x), w, b),
+        x, w, b, steps=opt.steps))
+    report("pallas_fused", timed(
+        lambda acc, x, w, b: fused_conv_lrelu_pallas(perturb(acc, x), w, b),
+        x, w, b, steps=opt.steps))
 
     results["elementwise_fusion_delta_ms"] = round(
         results["xla_conv_bias_lrelu"] - results["xla_conv_only"], 4
