@@ -331,6 +331,9 @@ def test_run_epochs_chained_data_parallel_matches():
         max_steps=8,
         scale=1.0 / 127.5,
         shift=-1.0,
+        # packed (K, M) metric path under DP: the stacked array is a
+        # replicated sharded array; the single drain fetch must handle it
+        metric_keys=["affine_loss"],
         data_parallel=True,
         chain=4,
         chain_periods=(4,),
