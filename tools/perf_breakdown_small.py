@@ -481,6 +481,82 @@ def bench_mnist(B, report, want):
             timed(f, state, z, label_input, code, labels, scaled, img, steps=300),
         )
 
+    if want("serial"):
+        # Serial-carry phase timings (see the dSprites section): updated
+        # params feed the next iteration, as in the real step, so the
+        # TPU cannot pipeline data-independent iterations.
+        def fg(carry, z, label_input, code):
+            g_params, opt_g = carry
+
+            def loss_fn(g_params):
+                gen, _ = apply_model(
+                    g, state.g.replace(params=g_params), z, label_input, code
+                )
+                validity, _ = apply_model(d, state.d, gen)
+                return mse_loss(validity, jnp.ones_like(validity))
+
+            loss, grads = jax.value_and_grad(loss_fn)(g_params)
+            up, opt_g = tx.update(grads, opt_g, g_params)
+            return (optax.apply_updates(g_params, up), opt_g), loss
+
+        report(
+            "mn_g_phase_serial",
+            timed_carry(fg, (state.g.params, state.opt_g), z, label_input, code),
+        )
+
+        def fd(carry, scaled, gen_imgs):
+            d_params, opt_d = carry
+
+            def loss_fn(d_params):
+                dv = state.d.replace(params=d_params)
+                rp, ds = apply_model(d, dv, scaled)
+                fp, ds = apply_model(d, dv.replace(stats=ds), gen_imgs)
+                return (
+                    mse_loss(rp, jnp.ones_like(rp))
+                    + mse_loss(fp, jnp.zeros_like(fp))
+                ) / 2.0
+
+            loss, grads = jax.value_and_grad(loss_fn)(d_params)
+            up, opt_d = tx_d.update(grads, opt_d, d_params)
+            return (optax.apply_updates(d_params, up), opt_d), loss
+
+        report(
+            "mn_d_phase_serial",
+            timed_carry(fd, (state.d.params, state.opt_d), scaled, gen_imgs),
+        )
+
+        def fi(carry, z, label_input, code, labels, scaled, img):
+            params, opt_i = carry
+
+            def loss_fn(params):
+                gv = state.g.replace(params=params["g"])
+                ev = state.e.replace(params=params["e"])
+                gen, _ = apply_model(g, gv, z, label_input, code)
+                (pl, pc, _), es = apply_model(e, ev, gen)
+                info_1 = config.lambda_cat * torch_cross_entropy(
+                    pl, labels
+                ) + config.lambda_con * mse_loss(pc, code)
+                (_, tc, _), es = apply_model(e, ev.replace(stats=es), scaled)
+                (_, rc, _), es = apply_model(e, ev.replace(stats=es), img)
+                pred = regularize_neural(
+                    approx, state.approx.as_variables(), rc, tc
+                )
+                return info_1 + config.lambda_affine * mse_loss(pred, code)
+
+            params_in = params
+            loss, grads = jax.value_and_grad(loss_fn)(params_in)
+            up, opt_i = tx.update(grads, opt_i, params_in)
+            return (optax.apply_updates(params_in, up), opt_i), loss
+
+        report(
+            "mn_info_phase_serial",
+            timed_carry(
+                fi,
+                ({"g": state.g.params, "e": state.e.params}, state.opt_info),
+                z, label_input, code, labels, scaled, img,
+            ),
+        )
+
 
 def main() -> None:
     parser = argparse.ArgumentParser()
@@ -555,6 +631,12 @@ def main() -> None:
     if opt.pipeline in ("mnist", "both"):
         bench_mnist(opt.batch, report, want)
         phases = [k for k in results if k.startswith("mn_") and "phase" in k]
+        # Serial-carry rows replace the constant-param ones in the
+        # accounting (same reasoning as the dSprites summary above).
+        if "mn_d_phase_serial" in results:
+            phases = [k for k in phases
+                      if k not in ("mn_g_phase+adam", "mn_d_phase+adam",
+                                   "mn_info_phase+adam")]
         if "mn_full_step" in results and phases:
             total = sum(results[k]["ms"] for k in phases)
             full = results["mn_full_step"]["ms"]
