@@ -64,7 +64,6 @@ def maybe_resume(state, resume: str, ckpt_dir: str, stem: str):
     ``auto`` restores the newest ``<stem>_%d.ckpt`` in ckpt_dir (no-op
     when none exist) — crash recovery without bookkeeping."""
     from eadgan_tpu.train.checkpoint import latest_step, restore_pytree
-    import os
 
     if not resume:
         return state
@@ -305,11 +304,14 @@ def _run_epochs_chained(
         plan_windows,
     )
 
+    from eadgan_tpu.parallel import is_coordinator
+
     host_rng = np.random.default_rng(seed)
     flip_rng = np.random.default_rng([seed, 0x464C4950])
     n_batches = data.shape[0] // batch_size
     start_step = int(jax.device_get(state.step))
     stop = (start_step + max_steps) if max_steps else None
+    eager_events = is_coordinator()
 
     device_put = jax.device_put
     if data_parallel:
@@ -394,15 +396,15 @@ def _run_epochs_chained(
                 rows = perm[o : o + k * batch_size]
                 win_shape = (k, batch_size) + data.shape[1:]
                 last_rows = rows[-batch_size:]
+                if use_gather:
+                    # indices only; pixels (and labels) gathered in-graph
+                    # from the device-resident arrays
+                    win = np.ascontiguousarray(
+                        rows.reshape(k, batch_size), np.int32
+                    )
+                elif use_native:
+                    win = np.ascontiguousarray(data[rows]).reshape(win_shape)
                 if use_native:
-                    if use_gather:
-                        # indices only; pixels gathered in-graph from the
-                        # device-resident dataset
-                        win = np.ascontiguousarray(
-                            rows.reshape(k, batch_size), np.int32
-                        )
-                    else:
-                        win = np.ascontiguousarray(data[rows]).reshape(win_shape)
                     if random_flip:
                         # one draw per batch, batch order — identical
                         # flip_rng stream to the per-dispatch engine
@@ -413,9 +415,6 @@ def _run_epochs_chained(
                     else:
                         yield (s, k, last_rows, None), (win,)
                 elif use_gather:
-                    win = np.ascontiguousarray(
-                        rows.reshape(k, batch_size), np.int32
-                    )
                     yield (s, k, last_rows, None), (win,)
                 else:
                     img = data[rows].reshape(win_shape)
@@ -469,8 +468,11 @@ def _run_epochs_chained(
                 # Windows ending on a declared side-effect step materialize
                 # the host batch eagerly (sample callbacks may pass it whole
                 # into jitted functions); all other windows stay lazy and
-                # never pay the gather.
-                if any((s + k - 1) % p == 0 for p in chain_periods if p):
+                # never pay the gather.  Non-coordinator processes had
+                # on_batch no-opped by run_epochs, so they never fetch.
+                if eager_events and any(
+                    (s + k - 1) % p == 0 for p in chain_periods if p
+                ):
                     first = fetch()
                 else:
                     first = LazyHostBatch(fetch)

@@ -33,6 +33,7 @@ __all__ = [
     "initialize",
     "host_batch_slice",
     "global_batch_from_host",
+    "host_barrier",
     "is_coordinator",
     "save_on_coordinator",
     "sync",

@@ -222,7 +222,12 @@ class LazyLastMetrics:
         return self._row
 
     def __getitem__(self, key):
+        if key not in self._keys:
+            raise KeyError(key)  # dict parity with the per-dispatch engine
         return self._fetch()[self._keys.index(key)]
+
+    def __contains__(self, key):
+        return key in self._keys
 
     def __iter__(self):
         return iter(self._keys)
@@ -230,8 +235,15 @@ class LazyLastMetrics:
     def __len__(self):
         return len(self._keys)
 
+    def get(self, key, default=None):
+        return self._fetch()[self._keys.index(key)] if key in self._keys else default
+
     def keys(self):
         return self._keys
+
+    def values(self):
+        row = self._fetch()
+        return [row[i] for i in range(len(self._keys))]
 
     def items(self):
         row = self._fetch()

@@ -131,6 +131,14 @@ def test_lazy_last_metrics_fetches_once_and_maps_keys():
     assert float(lazy["a"]) == 9.0
     assert list(lazy.keys()) == ["a", "b", "c"]
     assert dict(lazy.items()) == {"a": 9.0, "b": 10.0, "c": 11.0}
+    # dict API parity with the plain metrics dict the per-dispatch
+    # engine hands to on_batch
+    assert "b" in lazy and "zzz" not in lazy
+    assert float(lazy.get("c")) == 11.0
+    assert lazy.get("zzz", -1.0) == -1.0
+    assert [float(v) for v in lazy.values()] == [9.0, 10.0, 11.0]
+    with pytest.raises(KeyError):
+        lazy["zzz"]
 
 
 def test_chained_step_packed_metrics_match_dict():
