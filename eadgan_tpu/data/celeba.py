@@ -25,7 +25,12 @@ _EXTS = (".jpg", ".jpeg", ".png", ".bmp", ".webp")
 
 def _list_images(root: str) -> List[str]:
     out = []
-    for dirpath, _, files in os.walk(root):
+    for dirpath, dirs, files in os.walk(root):
+        # os.walk yields subdirectories in filesystem (inode) order;
+        # sort in place so the dataset ordering — and therefore the
+        # seeded flip masks and max_images truncation — is reproducible
+        # across hosts.
+        dirs.sort()
         for f in sorted(files):
             if f.lower().endswith(_EXTS):
                 out.append(os.path.join(dirpath, f))

@@ -107,8 +107,9 @@ def _resize_bilinear(imgs: np.ndarray, size: int) -> np.ndarray:
     wy = np.clip(ys - y0, 0.0, 1.0)[None, :, None]
     wx = np.clip(xs - x0, 0.0, 1.0)[None, None, :]
     f = imgs.astype(np.float32)
-    top = f[:, y0][:, :, x0] * (1 - wx) + f[:, y0][:, :, x1] * wx
-    bot = f[:, y1][:, :, x0] * (1 - wx) + f[:, y1][:, :, x1] * wx
+    fy0, fy1 = f[:, y0], f[:, y1]  # one row-gather each, not two
+    top = fy0[:, :, x0] * (1 - wx) + fy0[:, :, x1] * wx
+    bot = fy1[:, :, x0] * (1 - wx) + fy1[:, :, x1] * wx
     return top * (1 - wy) + bot * wy
 
 

@@ -25,6 +25,7 @@ __all__ = [
     "default_mesh",
     "batch_spec",
     "shard_batch",
+    "shard_window",
     "replicate",
     "shard_model_params",
 ]

@@ -157,8 +157,6 @@ def make_mnist_gan_step(generator, discriminator, encoder, approximator, config:
             return total, {
                 "g_stats": g_stats_new,
                 "e_stats": e_stats,
-                "info_1": info_1,
-                "affine": affine,
             }
 
         info_params = {"g": g_params, "e": state.e.params}
