@@ -170,6 +170,7 @@ def run_epochs(
     # runs should route through parallel.save_on_coordinator.
     from eadgan_tpu.parallel import is_coordinator
 
+    owned_logger = logger  # close the caller's logger even when gated off
     if not is_coordinator():
         on_batch = lambda *a, **k: None  # noqa: E731
         logger = None
@@ -194,8 +195,8 @@ def run_epochs(
                 data_parallel=data_parallel,
             )
     finally:
-        if logger is not None:
-            logger.close()  # flush buffered JSONL records
+        if owned_logger is not None:
+            owned_logger.close()  # flush buffered JSONL records
 
 
 def _run_epochs_inner(
@@ -351,14 +352,16 @@ def _run_epochs_chained(
     else:
         prepare = None
     use_gather = resident_arrays is not None
-    # Packed metrics: with an explicit key order every window returns ONE
-    # (K, M) f32 array instead of a dict of M arrays — one metric fetch
-    # RTT per window instead of M, and no eager [-1] slice dispatches
-    # (those would enqueue behind the NEXT window's scan and stall the
-    # host a full window per iteration; see train/chain.py docstrings).
-    pack_keys = tuple(metric_keys) if metric_keys else None
+    # Packed metrics: every window returns ONE (K, M) f32 array instead
+    # of a dict of M arrays — one metric fetch RTT per window instead of
+    # M, and no eager [-1] slice dispatches (those would enqueue behind
+    # the NEXT window's scan and stall the host a full window per
+    # iteration; see train/chain.py docstrings).  "auto" packs ALL
+    # metrics the step emits, so on_batch sees the full dict exactly as
+    # in the per-dispatch engine; ``metric_keys`` only filters what the
+    # logger prints, matching _run_epochs_inner.
     chained = make_chained_step(
-        step_body, prepare=prepare, donate=True, pack_keys=pack_keys
+        step_body, prepare=prepare, donate=True, pack_keys="auto"
     )
     if use_gather:
         if data_parallel:
@@ -435,18 +438,20 @@ def _run_epochs_chained(
                 return
             ps, pk, stacked = pending
             pending = None
-            if pack_keys is not None:
-                rows = np.asarray(stacked)  # ONE (K, M) fetch
-                arrs = {m: rows[:, j] for j, m in enumerate(pack_keys)}
-            else:
-                arrs = {m: np.asarray(v) for m, v in stacked.items()}
-            if logger is not None:
-                for i in range(pk):
-                    logger.log(
-                        ps + i, {m: arrs[m][i] for m in arrs},
-                        epoch=epoch, n_epochs=n_epochs,
-                        batch=(ps + i) % n_batches, n_batches=n_batches,
-                    )
+            if logger is None:
+                # nothing to print (e.g. non-coordinator process): skip
+                # the blocking per-window device fetch entirely
+                return
+            keys = tuple(chained.resolved_pack_keys)
+            rows = np.asarray(stacked)  # ONE (K, M) fetch
+            arrs = {m: rows[:, j] for j, m in enumerate(keys)}
+            shown = tuple(metric_keys) if metric_keys else keys
+            for i in range(pk):
+                logger.log(
+                    ps + i, {m: arrs[m][i] for m in shown},
+                    epoch=epoch, n_epochs=n_epochs,
+                    batch=(ps + i) % n_batches, n_batches=n_batches,
+                )
 
         try:
             for (s, k, last_rows, last_mask), win_arrays in iterator:
@@ -455,12 +460,11 @@ def _run_epochs_chained(
                 # this one — that device_get never stalls the pipeline.
                 drain()
                 pending = (s, k, stacked)
-                if pack_keys is not None:
-                    # no device work unless a callback actually reads it
-                    last_metrics = LazyLastMetrics(pack_keys, stacked)
-                else:
-                    # tiny async slice dispatches; only read if on_batch looks
-                    last_metrics = {m: v[-1] for m, v in stacked.items()}
+                # full emitted-metric dict view (resolved at the first
+                # trace above); no device work unless a callback reads it
+                last_metrics = LazyLastMetrics(
+                    tuple(chained.resolved_pack_keys), stacked
+                )
                 if use_native and random_flip:
                     fetch = lambda lr=last_rows, lm=last_mask: host_batch((lr, lm))[0]  # noqa: E731
                 else:

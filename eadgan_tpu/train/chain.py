@@ -67,8 +67,17 @@ def make_chained_step(
     a host round trip, so a 6-metric step pays 6 RTTs per window in dict
     form but exactly one in packed form — that difference is what
     throttled the round-2 soaks to ~60% of the benched step rate.
+
+    ``pack_keys="auto"`` packs EVERY metric the body emits (sorted key
+    order, resolved at trace time); the resolved order is exposed as
+    ``chained.resolved_pack_keys`` after the first call.  This is what
+    the production engine uses, so downstream ``on_batch`` consumers see
+    the full metric dict — same contract as the per-dispatch engine —
+    not just the keys the CLI chose to print.
     """
     import jax.numpy as jnp
+
+    resolved: list = []
 
     @functools.partial(jax.jit, donate_argnums=(0,) if donate else ())
     def chained(state, consts, *windows):
@@ -78,13 +87,17 @@ def make_chained_step(
                 batch = (batch,)
             new_state, metrics = body(carry, *batch)
             if pack_keys is not None:
+                keys = tuple(sorted(metrics)) if pack_keys == "auto" else pack_keys
+                if not resolved:
+                    resolved.extend(keys)
                 metrics = jnp.stack(
-                    [jnp.asarray(metrics[k], jnp.float32) for k in pack_keys]
+                    [jnp.asarray(metrics[k], jnp.float32) for k in keys]
                 )
             return new_state, metrics
 
         return jax.lax.scan(f, state, windows)
 
+    chained.resolved_pack_keys = resolved
     return chained
 
 

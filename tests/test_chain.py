@@ -164,6 +164,30 @@ def test_chained_step_packed_metrics_match_dict():
     )
 
 
+def test_chained_step_auto_pack_resolves_all_emitted_keys():
+    """pack_keys="auto" packs EVERY metric the body emits (sorted order,
+    resolved at trace time) — the production engines rely on this for
+    full metric-dict parity with the per-dispatch path."""
+    config, encoder, state = _pxy_setup()
+    body = make_pxy_step(encoder, config, jit=False)
+
+    def body2(st, img):
+        st, m = body(st, img)
+        return st, {"z_extra": m["affine_loss"] * 2.0, **m}
+
+    chained = make_chained_step(body2, donate=False, pack_keys="auto")
+    assert chained.resolved_pack_keys == []  # resolved only at first trace
+
+    rng = np.random.default_rng(6)
+    window = jnp.asarray(rng.random((3, 8, 64, 64, 1)), jnp.float32)
+    _, packed = chained(state, (), window)
+
+    assert chained.resolved_pack_keys == ["affine_loss", "z_extra"]
+    assert packed.shape == (3, 2)
+    rows = np.asarray(packed)
+    np.testing.assert_allclose(rows[:, 1], rows[:, 0] * 2.0, rtol=1e-6)
+
+
 # ------------------------------------------------- chained step == looped
 
 
@@ -316,6 +340,45 @@ def test_run_epochs_chained_matches_per_step_engine(flip, resident):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=1e-2, atol=1e-3
         )
+
+
+def test_run_epochs_chained_on_batch_sees_all_metrics():
+    """on_batch must see the step's FULL metric dict under chaining —
+    metric_keys only filters what the logger prints (same contract as
+    the per-dispatch engine, which passes metrics through untouched)."""
+    rng = np.random.default_rng(9)
+    data = rng.integers(0, 256, (40, 64, 64), np.uint8)
+    config, encoder, state = _pxy_setup(seed=7)
+
+    def widen(step):
+        def wrapped(st, img):
+            st, m = step(st, img)
+            return st, {"z_extra": m["affine_loss"] * 2.0, **m}
+
+        return wrapped
+
+    def run(chain, step_fn, body, reads):
+        def on_batch(batches_done, st, metrics, batch):
+            if batches_done % 4 == 0:
+                # a key the CLI does NOT print — must still be readable
+                reads.append((batches_done, float(metrics["z_extra"])))
+
+        return run_epochs(
+            n_epochs=50, data=data, labels=None, batch_size=8,
+            state=state, step_fn=step_fn, on_batch=on_batch, seed=0,
+            max_steps=8, scale=1.0 / 127.5, shift=-1.0,
+            metric_keys=["affine_loss"], chain=chain, chain_periods=(4,),
+            step_body=body,
+        )
+
+    jitted = jax.jit(widen(make_pxy_step(encoder, config, jit=False)))
+    body = widen(make_pxy_step(encoder, config, jit=False))
+    r1, r4 = [], []
+    run(1, jitted, body, r1)
+    run(4, jitted, body, r4)
+    assert [s for s, _ in r1] == [s for s, _ in r4] != []
+    for (_, a), (_, b) in zip(r1, r4):
+        np.testing.assert_allclose(a, b, rtol=2e-3, atol=1e-5)
 
 
 def test_run_epochs_chained_data_parallel_matches():

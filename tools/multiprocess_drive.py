@@ -239,8 +239,12 @@ def worker(opt) -> None:
 
 def baseline(opt) -> None:
     _init_jax(8)
+    # ckpt_path="": the baseline must NOT write opt.ckpt — the resume
+    # phase has to restore the file the multi-process workers wrote, and
+    # a baseline-written copy (numerically identical state) would mask a
+    # silently-skipped worker-side save_on_coordinator.
     result = run_steps(
-        opt.steps, pipeline=opt.pipeline, ckpt_path=opt.ckpt,
+        opt.steps, pipeline=opt.pipeline, ckpt_path="",
         resume=False, post_steps=opt.post_steps,
     )
     with open(opt.out, "w") as f:
