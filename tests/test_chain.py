@@ -66,6 +66,37 @@ def test_plan_windows_period_one_degenerates_to_single_steps():
     assert [k for _, k in plan] == [1] * 10
 
 
+def test_plan_windows_invariants_fuzz():
+    """Randomized sweep of the four planner invariants: contiguous
+    coverage of [start, min(start+count, stop)), k in [1, chain] and a
+    power of two, and every event index inside the range at a window
+    END."""
+    rng = np.random.default_rng(0)
+    for _ in range(300):
+        start = int(rng.integers(0, 1000))
+        count = int(rng.integers(1, 400))
+        chain = int(rng.integers(1, 65))
+        nper = int(rng.integers(0, 3))
+        periods = tuple(int(rng.integers(1, 150)) for _ in range(nper))
+        stop = int(start + rng.integers(1, count + 1)) if rng.random() < 0.5 else None
+
+        plan = list(plan_windows(start, count, chain, periods, stop))
+        end = start + count if stop is None else min(start + count, stop)
+
+        s = start
+        for ws, k in plan:
+            assert ws == s, "windows not contiguous"
+            assert 1 <= k <= chain
+            assert k & (k - 1) == 0, "window length not a power of two"
+            s += k
+        assert s == end, "plan does not cover the range exactly"
+
+        ends = {ws + k - 1 for ws, k in plan}
+        for e in range(start, end):
+            if any(e % p == 0 for p in periods):
+                assert e in ends, f"event {e} not at a window end"
+
+
 # ------------------------------------------------------------ prepare ops
 
 
