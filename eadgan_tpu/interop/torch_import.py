@@ -14,10 +14,15 @@ Weight-layout mappings (verified numerically against torch):
 * ``BatchNorm2d``     weight/bias -> scale/bias params; running stats ->
                       batch_stats mean/var
 * ``spectral_norm``   the effective weight ``weight_orig / sigma`` is
-                      materialized with a converged power iteration
-                      seeded from the stored ``weight_u``; flax's own
-                      power iteration then fixes on sigma ~ 1, leaving
-                      the effective weight unchanged
+                      materialized with torch's stored-uv eval sigma,
+                      and flax's power-iteration state is set to the
+                      unit-sigma solution (see ``_sn_u0_unit_sigma``)
+                      so flax's own eval-time division is exactly 1.
+                      Do NOT re-converge: at the SN equilibrium of
+                      long-trained layers (all singular values ~1) a
+                      converged iteration finds s1 != u'Wv and each
+                      layer's effective weight skews ~1e-3 relative,
+                      compounding to percent-level head outputs
 
 Each ``import_*`` returns a flax variables dict ``{"params": ...,
 "batch_stats": ...}`` matching the corresponding
@@ -63,7 +68,21 @@ def converge_sn_state(model, variables: dict, *dummy_inputs, iters: int = 200) -
     deviations in the import parity tests (an order-dependent flake
     when torch's global RNG picked an ill-conditioned init); 200 drives
     the worst observed deviation to ~3e-4 at negligible one-time cost.
+
+    Variables whose batch_stats ALREADY carry SpectralNorm state (every
+    ``import_*`` seeds it from torch's stored ``weight_u`` since round
+    3) are returned after the fresh-init merge WITHOUT iterating:
+    torch's eval sigma is its stored-uv Rayleigh quotient, and at the SN
+    equilibrium of long-trained kernels (all singular values ~1) a
+    converged iteration would move sigma to s1 != u'Wv, skewing the
+    effective weight ~1e-3 relative against the torch consumer.
     """
+    def has_sn(tree) -> bool:
+        if isinstance(tree, dict):
+            return any("SpectralNorm" in str(k) or has_sn(v) for k, v in tree.items())
+        return False
+
+    seeded = has_sn(variables.get("batch_stats", {}))
     if "batch_stats" not in variables:
         import jax
 
@@ -74,7 +93,7 @@ def converge_sn_state(model, variables: dict, *dummy_inputs, iters: int = 200) -
         variables["batch_stats"] = init["batch_stats"]
     else:
         # merge any missing SN state from a fresh init (imports carry BN
-        # stats but not SN u/sigma)
+        # stats and torch-seeded SN u/sigma; fill anything else)
         import jax
 
         init = model.init(jax.random.PRNGKey(0), *dummy_inputs)
@@ -82,13 +101,9 @@ def converge_sn_state(model, variables: dict, *dummy_inputs, iters: int = 200) -
         merged.update(variables["batch_stats"])
         variables = dict(variables)
         variables["batch_stats"] = merged
-    def has_sn(tree) -> bool:
-        if isinstance(tree, dict):
-            return any("SpectralNorm" in str(k) or has_sn(v) for k, v in tree.items())
-        return False
 
-    if not has_sn(variables["batch_stats"]):
-        return variables  # nothing to converge (e.g. generators)
+    if seeded or not has_sn(variables["batch_stats"]):
+        return variables  # torch-seeded u (keep it), or nothing to converge
 
     import jax
 
@@ -201,6 +216,49 @@ def _bn(sd, prefix):
     return params, stats
 
 
+def _sn_u0_unit_sigma(kernel: np.ndarray) -> np.ndarray:
+    """flax ``u0`` state that makes flax's eval sigma EXACTLY 1 on a
+    pre-normalized imported kernel.
+
+    The imported kernel is already torch's exact eval-time effective
+    weight (W_orig / (u'Wv)), so the correct flax division is by 1.
+    flax's SpectralNorm recomputes sigma at every apply with one power
+    step from the stored u0: ``v0 = normalize(u0 K^T); sigma = |v0 K|``.
+    Converging u0 (the pre-round-3 approach) lands sigma on s1(K) =
+    s1(W)/(u'Wv) instead — and on long-trained layers the spectrum sits
+    at the SN equilibrium (ALL singular values ~1, s1 != u'Wv), so every
+    SN layer's effective weight skews ~1e-3 relative and the error
+    compounds through the 8-layer encoders into percent-level head
+    outputs (measured on 500k-step colored encoders, ROUND_NOTES r3).
+
+    Instead solve for sigma = 1 exactly: with K = U S V^T, a mixture
+    ``u0 = cos/S_i * V_i + sin/S_j * V_j`` gives ``v0 = cos*U_i +
+    sin*U_j`` (unit) and ``sigma = sqrt(cos^2 S_i^2 + sin^2 S_j^2)``;
+    choosing cos^2 = (1 - S_j^2)/(S_i^2 - S_j^2) for S_j <= 1 <= S_i
+    pins sigma to 1 to f32 rounding.  S_i >= 1 always holds on a
+    pre-normalized kernel (Rayleigh <= s1); when every S > 1 or the
+    usable S_j is degenerate, fall back to the closest achievable
+    vector (residual |S-1| ~ rounding in practice).
+    """
+    mat = kernel.reshape(-1, kernel.shape[-1]).astype(np.float64)
+    u_mat, s, vt = np.linalg.svd(mat, full_matrices=False)
+    del u_mat
+    if s[0] <= 1.0:  # sigma range tops out below 1: top vector is closest
+        u0 = vt[0]
+    else:
+        below = [j for j in range(len(s)) if s[j] <= 1.0 and s[j] > 1e-6]
+        if not below:
+            u0 = vt[-1] if s[-1] > 1.0 else vt[0]
+        else:
+            j = below[0]  # largest singular value <= 1 (s is descending)
+            c2 = (1.0 - s[j] ** 2) / (s[0] ** 2 - s[j] ** 2)
+            c2 = min(max(c2, 0.0), 1.0)
+            cos, sin = np.sqrt(c2), np.sqrt(1.0 - c2)
+            u0 = (cos / s[0]) * vt[0] + (sin / s[j]) * vt[j]
+            u0 = u0 / (np.linalg.norm(u0) + 1e-300)
+    return u0.reshape(1, -1).astype(np.float32)
+
+
 def _conv(sd, prefix, sn=False):
     if sn:
         w = sn_effective(
@@ -208,8 +266,10 @@ def _conv(sd, prefix, sn=False):
             sd.get(f"{prefix}.weight_u"),
             sd.get(f"{prefix}.weight_v"),
         )
-    else:
-        w = _np(sd, f"{prefix}.weight")
+        k = conv_kernel(w)
+        return {"kernel": k, "bias": _np(sd, f"{prefix}.bias"),
+                "__sn_u__": _sn_u0_unit_sigma(k)}
+    w = _np(sd, f"{prefix}.weight")
     return {"kernel": conv_kernel(w), "bias": _np(sd, f"{prefix}.bias")}
 
 
@@ -227,8 +287,10 @@ def _dense(sd, prefix, sn=False, flatten_chw=None):
             sd.get(f"{prefix}.weight_u"),
             sd.get(f"{prefix}.weight_v"),
         )
-    else:
-        w = _np(sd, f"{prefix}.weight")
+        k = linear_kernel(w, flatten_chw)
+        return {"kernel": k, "bias": _np(sd, f"{prefix}.bias"),
+                "__sn_u__": _sn_u0_unit_sigma(k)}
+    w = _np(sd, f"{prefix}.weight")
     return {
         "kernel": linear_kernel(w, flatten_chw),
         "bias": _np(sd, f"{prefix}.bias"),
@@ -238,6 +300,31 @@ def _dense(sd, prefix, sn=False, flatten_chw=None):
 def _wrap(inner, name):
     """Wrap a leaf layer dict under the flax wrapper module name."""
     return {name: inner}
+
+
+def _with_sn_stats(tree: dict) -> dict:
+    """Strip the ``__sn_u__`` markers the SN layer helpers attach and
+    return complete flax variables: ``{"params": ..., "batch_stats": ...}``
+    with the spectral-norm state seeded from torch's stored vectors
+    (flax naming: ``<mod>/SpectralNorm_0/{"<inner>/kernel/u", ".../sigma"}``;
+    sigma is write-only in flax — stored as torch's eval value, 1.0, since
+    the kernels are pre-normalized)."""
+    params = tree["params"]
+    stats = dict(tree.get("batch_stats", {}))
+    for mod, sub in params.items():
+        for inner, leaf in sub.items() if isinstance(sub, dict) else ():
+            if isinstance(leaf, dict) and "__sn_u__" in leaf:
+                u = leaf.pop("__sn_u__")
+                stats[mod] = {
+                    "SpectralNorm_0": {
+                        f"{inner}/kernel/u": u,
+                        f"{inner}/kernel/sigma": np.float32(1.0),
+                    }
+                }
+    out = {"params": params}
+    if stats:
+        out["batch_stats"] = stats
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -253,7 +340,7 @@ def import_sprites_encoder_pxy(sd) -> dict:
     params["TorchDense_0"] = _wrap(
         _dense(sd, "fc1", flatten_chw=(64, 4, 4)), "Dense_0"
     )
-    return {"params": params}
+    return _with_sn_stats({"params": params})
 
 
 def import_sprites_discriminator(sd) -> dict:
@@ -264,7 +351,7 @@ def import_sprites_discriminator(sd) -> dict:
         _dense(sd, "fc1.0", sn=True, flatten_chw=(64, 4, 4)), "Dense_0"
     )
     params["TorchDense_0"] = _wrap(_dense(sd, "fc2"), "Dense_0")
-    return {"params": params}
+    return _with_sn_stats({"params": params})
 
 
 def import_sprites_generator(sd) -> dict:
@@ -281,7 +368,7 @@ def import_sprites_generator(sd) -> dict:
         params[f"TorchBatchNorm_{i}"] = _wrap(bn_p, "BatchNorm_0")
         stats[f"TorchBatchNorm_{i}"] = _wrap(bn_s, "BatchNorm_0")
     params["TorchConvTranspose_3"] = _wrap(_convT(sd, "conv_block.9"), "ConvTranspose_0")
-    return {"params": params, "batch_stats": stats}
+    return _with_sn_stats({"params": params, "batch_stats": stats})
 
 
 def import_sprites_encoder(sd) -> dict:
@@ -294,7 +381,7 @@ def import_sprites_encoder(sd) -> dict:
     params["SNDense_1"] = _wrap(_dense(sd, "fc2.0", sn=True), "Dense_0")
     params["SNDense_2"] = _wrap(_dense(sd, "cat_layer.0", sn=True), "Dense_0")
     params["SNDense_3"] = _wrap(_dense(sd, "cont_layer.0", sn=True), "Dense_0")
-    return {"params": params}
+    return _with_sn_stats({"params": params})
 
 
 # ---------------------------------------------------------------------------
@@ -315,7 +402,7 @@ def import_mnist_generator(sd) -> dict:
         params[f"TorchBatchNorm_{i + 1}"] = _wrap(bn_p, "BatchNorm_0")
         stats[f"TorchBatchNorm_{i + 1}"] = _wrap(bn_s, "BatchNorm_0")
     params["TorchConv_2"] = _wrap(_conv(sd, "conv_blocks.9"), "Conv_0")
-    return {"params": params, "batch_stats": stats}
+    return _with_sn_stats({"params": params, "batch_stats": stats})
 
 
 def import_mnist_encoder(sd, img_size: int = 32) -> dict:
@@ -333,7 +420,7 @@ def import_mnist_encoder(sd, img_size: int = 32) -> dict:
     params["SNDense_0"] = _wrap(_dense(sd, "aux_layer.0", sn=True, flatten_chw=flat), "Dense_0")
     params["SNDense_1"] = _wrap(_dense(sd, "latent_layer.0", sn=True, flatten_chw=flat), "Dense_0")
     params["SNDense_2"] = _wrap(_dense(sd, "noise_layer.0", sn=True, flatten_chw=flat), "Dense_0")
-    return {"params": params, "batch_stats": stats}
+    return _with_sn_stats({"params": params, "batch_stats": stats})
 
 
 def import_mnist_discriminator(sd, img_size: int = 32) -> dict:
@@ -344,14 +431,14 @@ def import_mnist_discriminator(sd, img_size: int = 32) -> dict:
     params["SNDense_0"] = _wrap(
         _dense(sd, "adv_layer.0", sn=True, flatten_chw=(128, ds, ds)), "Dense_0"
     )
-    return {"params": params}
+    return _with_sn_stats({"params": params})
 
 
 def import_approximator(sd) -> dict:
     params = {}
     for i, seq in enumerate((0, 2, 4, 6, 8)):
         params[f"TorchDense_{i}"] = _wrap(_dense(sd, f"fc_block.{seq}"), "Dense_0")
-    return {"params": params}
+    return _with_sn_stats({"params": params})
 
 
 # ---------------------------------------------------------------------------
@@ -373,7 +460,7 @@ def import_celeba_generator(sd) -> dict:
         bn_p, bn_s = _bn(sd, f"conv_blocks.{seq}")
         params[f"TorchBatchNorm_{i}"] = _wrap(bn_p, "BatchNorm_0")
         stats[f"TorchBatchNorm_{i}"] = _wrap(bn_s, "BatchNorm_0")
-    return {"params": params, "batch_stats": stats}
+    return _with_sn_stats({"params": params, "batch_stats": stats})
 
 
 def import_celeba_discriminator(sd) -> dict:
@@ -381,4 +468,4 @@ def import_celeba_discriminator(sd) -> dict:
     for i, seq in enumerate((0, 2, 4, 6)):
         params[f"SNConv_{i}"] = _wrap(_conv(sd, f"main.{seq}", sn=True), "Conv_0")
     params["TorchConv_0"] = _wrap(_conv(sd, "main.8"), "Conv_0")
-    return {"params": params}
+    return _with_sn_stats({"params": params})
