@@ -183,21 +183,14 @@ def test_sprites_encoder_import(rng):
     _close(cont, t_cont)
 
 
-def test_sprites_encoder_import_at_sn_equilibrium(rng):
-    """Long SN training drives every singular value toward 1 (the SN
-    equilibrium) while torch's eval sigma stays its stored-uv Rayleigh
-    quotient != s1.  Re-converging flax's power iteration in that regime
-    skews every SN layer's effective weight ~1e-3 relative, compounding
-    to percent-level head outputs — caught by full-scale trained metric
-    parity on 500k-step colored encoders (round 3) and fixed by the
-    unit-sigma u0 the importer now seeds.  Emulate the regime by
-    flattening each SN weight's spectrum to 1 +- 0.2% and re-deriving a
-    self-consistent (u, v) pair; the import must match torch eval
-    tightly (1e-4, vs ~1e-2 divergence pre-fix)."""
-    t = TorchSpritesE()
-    x = torch.rand(4, 1, 64, 64)
-    sd = _sd(t, (x,))
-    g = np.random.default_rng(7)
+def _to_sn_equilibrium(sd, seed=7):
+    """Rewrite every spectral-norm weight in ``sd`` to an emulated SN
+    equilibrium: spectrum flattened to 1 +- 0.2% with a self-consistent
+    — but NOT top-vector-converged — torch power-iteration (u, v) pair
+    (3 steps on a flat spectrum stay mixed), the regime long SN training
+    produces where torch's eval sigma (the stored-uv Rayleigh quotient)
+    differs from s1."""
+    g = np.random.default_rng(seed)
     for k in [k for k in sd if k.endswith("weight_orig")]:
         base = k[: -len("_orig")]
         w = np.asarray(sd[k], np.float64)
@@ -205,8 +198,6 @@ def test_sprites_encoder_import_at_sn_equilibrium(rng):
         u_m, s, vt = np.linalg.svd(mat, full_matrices=False)
         flat = 1.0 + 0.002 * g.standard_normal(len(s))
         mat2 = (u_m * flat) @ vt
-        # a self-consistent torch power-iteration pair, NOT converged to
-        # the top vector (3 steps on a flat spectrum stay mixed)
         u = g.standard_normal(mat2.shape[0])
         for _ in range(3):
             v = mat2.T @ u
@@ -216,6 +207,21 @@ def test_sprites_encoder_import_at_sn_equilibrium(rng):
         sd[k] = mat2.reshape(w.shape).astype(np.float32)
         sd[base + "_u"] = u.astype(np.float32)
         sd[base + "_v"] = v.astype(np.float32)
+    return sd
+
+
+def test_sprites_encoder_import_at_sn_equilibrium(rng):
+    """Long SN training drives every singular value toward 1 (the SN
+    equilibrium) while torch's eval sigma stays its stored-uv Rayleigh
+    quotient != s1.  Re-converging flax's power iteration in that regime
+    skews every SN layer's effective weight ~1e-3 relative, compounding
+    to percent-level head outputs — caught by full-scale trained metric
+    parity on 500k-step colored encoders (round 3) and fixed by the
+    unit-sigma u0 the importer now seeds.  The import must match torch
+    eval tightly (1e-4, vs ~1e-2 divergence pre-fix)."""
+    t = TorchSpritesE()
+    x = torch.rand(4, 1, 64, 64)
+    sd = _to_sn_equilibrium(_sd(t, (x,)))
     t2 = TorchSpritesE()
     t2.load_state_dict({k: torch.from_numpy(np.asarray(v)) for k, v in sd.items()})
     t2.eval()
@@ -395,6 +401,70 @@ def test_celeba_discriminator_import(rng):
     _close(cat, t_cat)
     _close(cont, t_cont)
     _close(validity, t_v)
+
+
+def test_celeba_discriminator_import_at_sn_equilibrium(rng):
+    """The conv-SN analogue of the sprites-encoder equilibrium test:
+    all four SN Conv2d kernels flattened to the 1 +- 0.2% regime (see
+    ``_to_sn_equilibrium``); the imported discriminator must match torch
+    eval to 1e-4 on all three heads."""
+    t = TorchCelebaD()
+    x = torch.rand(2, 3, 64, 64) * 2 - 1
+    sd = _to_sn_equilibrium(_sd(t, (x,)), seed=11)
+    t2 = TorchCelebaD()
+    t2.load_state_dict({k: torch.from_numpy(np.asarray(v)) for k, v in sd.items()})
+    t2.eval()
+    variables = import_celeba_discriminator(sd)
+    model = CelebaDiscriminator()
+    variables = converge_sn_state(model, variables, jnp.zeros((1, 64, 64, 3)))
+    (cat, cont, validity), _ = model.apply(
+        variables, _nhwc(x), train=False, mutable=["batch_stats"]
+    )
+    with torch.no_grad():
+        t_cat, t_cont, t_v = t2(x)
+    _close(cat, t_cat, tol=1e-4)
+    _close(cont, t_cont, tol=1e-4)
+    _close(validity, t_v, tol=1e-4)
+
+
+def test_sn_u0_unit_sigma_fuzz():
+    """Property-fuzz ``_sn_u0_unit_sigma`` against flax's recomputed
+    sigma (one power step from stored u0: ``v0 = normalize(u0 K^T);
+    sigma = |v0 K|``, flax.linen.SpectralNorm n_steps=1).  On a kernel
+    whose spectrum straddles 1 — every pre-normalized import, since the
+    Rayleigh quotient <= s1 — sigma must be 1 to f32 rounding; when the
+    whole spectrum sits on one side of 1 the fallback must land on the
+    closest achievable value (s_max below / s_min above)."""
+    from eadgan_tpu.interop.torch_import import _sn_u0_unit_sigma
+
+    g = np.random.default_rng(3)
+
+    def flax_sigma(kernel, u0):
+        mat = kernel.reshape(-1, kernel.shape[-1]).astype(np.float64)
+        v0 = u0[0] @ mat.T
+        v0 /= np.linalg.norm(v0)
+        return np.linalg.norm(v0 @ mat)
+
+    shapes = [(4, 4, 1, 32), (4, 4, 128, 256), (3, 3, 8, 4), (1024, 19),
+              (128, 1024), (5, 5)]
+    for shape in shapes:
+        for scale, expect in (("straddle", 1.0), ("below", None), ("above", None)):
+            k = g.standard_normal(shape).astype(np.float64)
+            mat = k.reshape(-1, shape[-1])
+            u_m, s, vt = np.linalg.svd(mat, full_matrices=False)
+            if scale == "straddle":  # geometric spread around 1
+                s2 = np.geomspace(1.7, 0.6, len(s))
+            elif scale == "below":
+                s2 = np.geomspace(0.9, 0.2, len(s))
+            else:
+                s2 = np.geomspace(3.0, 1.1, len(s))
+            mat2 = (u_m * s2) @ vt
+            kernel = mat2.reshape(shape).astype(np.float32)
+            sigma = flax_sigma(kernel, _sn_u0_unit_sigma(kernel))
+            target = expect if expect is not None else (
+                s2[0] if scale == "below" else s2[-1]
+            )
+            assert abs(sigma - target) < 5e-5, (shape, scale, sigma, target)
 
 
 def test_import_cli_end_to_end(tmp_path, rng):
