@@ -15,7 +15,7 @@ import os
 
 import jax
 
-from eadgan_tpu.cli.common import add_adam_args, add_run_args, jit_generator_apply, maybe_resume, run_epochs
+from eadgan_tpu.cli.common import add_adam_args, add_run_args, jit_generator_apply, maybe_resume, resolve_compute_dtype, run_epochs
 from eadgan_tpu.data import load_image_folder
 from eadgan_tpu.models import CelebaDiscriminator, CelebaGenerator
 from eadgan_tpu.ops import warp_affine
@@ -66,13 +66,14 @@ def main(argv=None) -> None:
         seed=opt.seed,
     )
 
+    dtype = resolve_compute_dtype(opt)
     generator = CelebaGenerator(
         latent_dim=config.latent_dim, n_classes=config.n_classes,
-        code_dim=config.code_dim, channels=config.channels,
+        code_dim=config.code_dim, channels=config.channels, dtype=dtype,
     )
     discriminator = CelebaDiscriminator(
         n_classes=config.n_classes, code_dim=config.code_dim,
-        channels=config.channels,
+        channels=config.channels, dtype=dtype,
     )
     state = init_celeba_gan_state(
         generator, discriminator, config, jax.random.PRNGKey(opt.seed)

@@ -78,6 +78,29 @@ def maybe_resume(state, resume: str, ckpt_dir: str, stem: str):
     return restore_pytree(path, state)
 
 
+def resolve_compute_dtype(opt):
+    """Resolve ``--compute`` to a model ``dtype``: ``jnp.bfloat16`` or
+    ``None`` (full f32).  Unset, it defaults by backend — bf16 on TPU,
+    f32 elsewhere — so production training runs the same bf16-compute +
+    fast-warp configuration bench.py measures (the round-3 traced soak
+    showed the f32+exact-warp CLI step at 19.25 ms vs the 16.4 ms
+    benched step; the gap was this configuration, not engine overhead),
+    while CPU test/golden runs stay exact.  Params are f32 either way
+    (flax param_dtype default); BN statistics stay f32 inside the
+    models.  bf16 also defaults the warp kernel to its fast MXU passes
+    unless EADGAN_WARP_PRECISION is already set."""
+    import jax
+    import jax.numpy as jnp
+
+    choice = opt.compute or (
+        "bf16" if jax.default_backend() == "tpu" else "f32"
+    )
+    if choice == "bf16":
+        os.environ.setdefault("EADGAN_WARP_PRECISION", "fast")
+        return jnp.bfloat16
+    return None
+
+
 def add_adam_args(parser: argparse.ArgumentParser, lr: float) -> None:
     parser.add_argument("--lr", type=float, default=lr, help="adam: learning rate")
     parser.add_argument("--b1", type=float, default=0.5, help="adam: decay of first order momentum of gradient")
@@ -98,6 +121,15 @@ def add_run_args(parser: argparse.ArgumentParser) -> None:
         "--no_download",
         action="store_true",
         help="never fetch missing dataset archives from the network",
+    )
+    parser.add_argument(
+        "--compute",
+        choices=["bf16", "f32"],
+        default=None,
+        help="model compute dtype (params always stay f32). Default: "
+        "bf16 on TPU — bf16 MXU passes + the fast warp, the exact "
+        "configuration bench.py measures — and f32 elsewhere (golden "
+        "tests / CPU). 'f32' also selects the exact 'highest' warp",
     )
     parser.add_argument(
         "--chain",
@@ -385,110 +417,181 @@ def _run_epochs_chained(
             return (gather_normalize_flip(data, rows[0], rows[1], scale, shift),)
         return (gather_normalize(data, rows, scale, shift),)
 
+    # Event side effects (sample grids, checkpoint writes — ~5 s of
+    # state fetch + serialization for a CelebA checkpoint through the
+    # tunnel, measured in evidence/perf_r3) run on a background
+    # EventWorker with a device-side SNAPSHOT of the train state: the
+    # copy shares no buffers with the live state, so the next window's
+    # donation proceeds immediately and the event work overlaps device
+    # execution.  Under chaining, on_batch fires exactly at declared
+    # ``chain_periods`` boundaries (the per-dispatch engine calls it
+    # every step; every production callback self-gates on these same
+    # periods, so the observable side effects are identical).  Callers
+    # that declare NO periods keep the legacy inline per-window call.
+    # EADGAN_SYNC_EVENTS=1 forces inline execution (debugging).
+    worker = None
+    async_events = (
+        bool(chain_periods)
+        and os.environ.get("EADGAN_SYNC_EVENTS", "") != "1"
+    )
+    if async_events and eager_events:
+        from eadgan_tpu.train.chain import EventWorker
+
+        worker = EventWorker()
+    snapshot = jax.jit(lambda t: jax.tree_util.tree_map(jax.numpy.copy, t))
+
     batches_done = start_step
     epoch = start_step // max(n_batches, 1)
-    while epoch < n_epochs and (stop is None or batches_done < stop):
-        perm = host_rng.permutation(data.shape[0])
-        plan = list(
-            plan_windows(batches_done, n_batches, chain, chain_periods, stop)
-        )
+    try:
+        while epoch < n_epochs and (stop is None or batches_done < stop):
+            perm = host_rng.permutation(data.shape[0])
+            plan = list(
+                plan_windows(batches_done, n_batches, chain, chain_periods, stop)
+            )
 
-        def windows():
-            for s, k in plan:
-                o = (s - plan[0][0]) * batch_size
-                rows = perm[o : o + k * batch_size]
-                win_shape = (k, batch_size) + data.shape[1:]
-                last_rows = rows[-batch_size:]
-                if use_gather:
-                    # indices only; pixels (and labels) gathered in-graph
-                    # from the device-resident arrays
-                    win = np.ascontiguousarray(
-                        rows.reshape(k, batch_size), np.int32
-                    )
-                elif use_native:
-                    win = np.ascontiguousarray(data[rows]).reshape(win_shape)
-                if use_native:
-                    if random_flip:
-                        # one draw per batch, batch order — identical
-                        # flip_rng stream to the per-dispatch engine
-                        masks = np.stack(
-                            [flip_rng.random(batch_size) < 0.5 for _ in range(k)]
+            def windows():
+                for s, k in plan:
+                    o = (s - plan[0][0]) * batch_size
+                    rows = perm[o : o + k * batch_size]
+                    win_shape = (k, batch_size) + data.shape[1:]
+                    last_rows = rows[-batch_size:]
+                    if use_gather:
+                        # indices only; pixels (and labels) gathered in-graph
+                        # from the device-resident arrays
+                        win = np.ascontiguousarray(
+                            rows.reshape(k, batch_size), np.int32
                         )
-                        yield (s, k, last_rows, masks[-1]), (win, masks)
-                    else:
+                    elif use_native:
+                        win = np.ascontiguousarray(data[rows]).reshape(win_shape)
+                    if use_native:
+                        if random_flip:
+                            # one draw per batch, batch order — identical
+                            # flip_rng stream to the per-dispatch engine
+                            masks = np.stack(
+                                [flip_rng.random(batch_size) < 0.5 for _ in range(k)]
+                            )
+                            yield (s, k, last_rows, masks[-1]), (win, masks)
+                        else:
+                            yield (s, k, last_rows, None), (win,)
+                    elif use_gather:
                         yield (s, k, last_rows, None), (win,)
-                elif use_gather:
-                    yield (s, k, last_rows, None), (win,)
-                else:
-                    img = data[rows].reshape(win_shape)
-                    if labels is not None:
-                        lab = labels[rows].reshape(k, batch_size)
-                        yield (s, k, last_rows, None), (img, lab)
                     else:
-                        yield (s, k, last_rows, None), (img,)
+                        img = data[rows].reshape(win_shape)
+                        if labels is not None:
+                            lab = labels[rows].reshape(k, batch_size)
+                            yield (s, k, last_rows, None), (img, lab)
+                        else:
+                            yield (s, k, last_rows, None), (img,)
 
-        iterator = Prefetcher(
-            windows(), place=lambda item: (item[0], device_put(item[1]))
-        )
-        pending = None  # previous window's (start, k, stacked device metrics)
+            iterator = Prefetcher(
+                windows(), place=lambda item: (item[0], device_put(item[1]))
+            )
+            pending = None  # previous window's (start, k, stacked device metrics)
 
-        def drain():
-            nonlocal pending
-            if pending is None:
-                return
-            ps, pk, stacked = pending
-            pending = None
-            if logger is None:
-                # nothing to print (e.g. non-coordinator process): skip
-                # the blocking per-window device fetch entirely
-                return
-            keys = tuple(chained.resolved_pack_keys)
-            rows = np.asarray(stacked)  # ONE (K, M) fetch
-            arrs = {m: rows[:, j] for j, m in enumerate(keys)}
-            shown = tuple(metric_keys) if metric_keys else keys
-            for i in range(pk):
-                logger.log(
-                    ps + i, {m: arrs[m][i] for m in shown},
-                    epoch=epoch, n_epochs=n_epochs,
-                    batch=(ps + i) % n_batches, n_batches=n_batches,
-                )
+            def drain():
+                nonlocal pending
+                if pending is None:
+                    return
+                ps, pk, stacked = pending
+                pending = None
+                if logger is None:
+                    # nothing to print (e.g. non-coordinator process): skip
+                    # the blocking per-window device fetch entirely
+                    return
+                keys = tuple(chained.resolved_pack_keys)
+                rows = np.asarray(stacked)  # ONE (K, M) fetch
+                arrs = {m: rows[:, j] for j, m in enumerate(keys)}
+                shown = tuple(metric_keys) if metric_keys else keys
+                for i in range(pk):
+                    logger.log(
+                        ps + i, {m: arrs[m][i] for m in shown},
+                        epoch=epoch, n_epochs=n_epochs,
+                        batch=(ps + i) % n_batches, n_batches=n_batches,
+                    )
 
-        try:
-            for (s, k, last_rows, last_mask), win_arrays in iterator:
-                state, stacked = chained(state, consts, *win_arrays)
-                # Convert the PREVIOUS window's metrics after dispatching
-                # this one — that device_get never stalls the pipeline.
+            # EADGAN_CHAIN_TRACE=<path>: append one JSONL record per window
+            # with host-side phase timings (iter = prefetch wait + host gather,
+            # disp = chained() dispatch call, drain = previous window's packed
+            # metric fetch incl. any block on device completion, cb = logging +
+            # on_batch side effects).  Zero-cost when unset; the perf account
+            # in evidence/perf_r3 is built from these records.
+            trace = None
+            trace_path = os.environ.get("EADGAN_CHAIN_TRACE", "")
+            if trace_path:
+                import json as _json
+                import time as _time
+
+                trace = open(trace_path, "a")
+            try:
+                t_prev = None
+                for (s, k, last_rows, last_mask), win_arrays in iterator:
+                    if trace is not None:
+                        t0 = _time.perf_counter()
+                    state, stacked = chained(state, consts, *win_arrays)
+                    if trace is not None:
+                        t1 = _time.perf_counter()
+                    # Convert the PREVIOUS window's metrics after dispatching
+                    # this one — that device_get never stalls the pipeline.
+                    drain()
+                    if trace is not None:
+                        t2 = _time.perf_counter()
+                    pending = (s, k, stacked)
+                    batches_done = s + k
+                    is_event = any(
+                        (s + k - 1) % p == 0 for p in chain_periods if p
+                    )
+                    if is_event or not chain_periods:
+                        # full emitted-metric dict view (resolved at the first
+                        # trace above); no device work unless a callback reads it
+                        last_metrics = LazyLastMetrics(
+                            tuple(chained.resolved_pack_keys), stacked
+                        )
+                        if use_native and random_flip:
+                            fetch = lambda lr=last_rows, lm=last_mask: host_batch((lr, lm))[0]  # noqa: E731
+                        else:
+                            fetch = lambda lr=last_rows: host_batch(lr)[0]  # noqa: E731
+                        # Event windows materialize the host batch eagerly
+                        # (sample callbacks may pass it whole into jitted
+                        # functions); legacy no-period windows stay lazy.
+                        # Non-coordinator processes had on_batch no-opped by
+                        # run_epochs, so they never fetch.
+                        if eager_events and is_event:
+                            first = fetch()
+                        else:
+                            first = LazyHostBatch(fetch)
+                        batch_for_cb = (first,) if labels is None else (
+                            first, labels[last_rows]
+                        )
+                        if worker is not None and is_event:
+                            import functools
+
+                            worker.submit(functools.partial(
+                                on_batch, s + k - 1, snapshot(state),
+                                last_metrics, batch_for_cb,
+                            ))
+                        else:
+                            on_batch(s + k - 1, state, last_metrics, batch_for_cb)
+                    if trace is not None:
+                        t3 = _time.perf_counter()
+                        trace.write(_json.dumps({
+                            "s": s, "k": k,
+                            "iter": round(t0 - (t_prev if t_prev else t0), 6),
+                            "disp": round(t1 - t0, 6),
+                            "drain": round(t2 - t1, 6),
+                            "cb": round(t3 - t2, 6),
+                        }) + "\n")
+                        t_prev = t3
                 drain()
-                pending = (s, k, stacked)
-                # full emitted-metric dict view (resolved at the first
-                # trace above); no device work unless a callback reads it
-                last_metrics = LazyLastMetrics(
-                    tuple(chained.resolved_pack_keys), stacked
-                )
-                if use_native and random_flip:
-                    fetch = lambda lr=last_rows, lm=last_mask: host_batch((lr, lm))[0]  # noqa: E731
-                else:
-                    fetch = lambda lr=last_rows: host_batch(lr)[0]  # noqa: E731
-                # Windows ending on a declared side-effect step materialize
-                # the host batch eagerly (sample callbacks may pass it whole
-                # into jitted functions); all other windows stay lazy and
-                # never pay the gather.  Non-coordinator processes had
-                # on_batch no-opped by run_epochs, so they never fetch.
-                if eager_events and any(
-                    (s + k - 1) % p == 0 for p in chain_periods if p
-                ):
-                    first = fetch()
-                else:
-                    first = LazyHostBatch(fetch)
-                batch_for_cb = (first,) if labels is None else (
-                    first, labels[last_rows]
-                )
-                batches_done = s + k
-                on_batch(s + k - 1, state, last_metrics, batch_for_cb)
-            drain()
-        finally:
-            iterator.close()
-        epoch += 1
+            finally:
+                iterator.close()
+                if trace is not None:
+                    trace.close()
+            epoch += 1
+    finally:
+        if worker is not None:
+            # all queued event side effects (checkpoint writes!) must
+            # complete — and any failure surface — before returning
+            worker.close()
     return state
 
 

@@ -16,7 +16,7 @@ import os
 import jax
 import jax.numpy as jnp
 
-from eadgan_tpu.cli.common import add_adam_args, add_run_args, jit_generator_apply, maybe_resume, run_epochs
+from eadgan_tpu.cli.common import add_adam_args, add_run_args, jit_generator_apply, maybe_resume, resolve_compute_dtype, run_epochs
 from eadgan_tpu.data import load_mnist
 from eadgan_tpu.models import (
     AffineApproximator,
@@ -72,19 +72,21 @@ def main(argv=None) -> None:
         download=not opt.no_download,
     )
 
+    dtype = resolve_compute_dtype(opt)
     generator = MnistGenerator(
         latent_dim=config.latent_dim, n_classes=config.n_classes,
         code_dim=config.code_dim, img_size=config.img_size,
-        channels=config.channels,
+        channels=config.channels, dtype=dtype,
     )
     discriminator = MnistDiscriminator(
-        img_size=config.img_size, channels=config.channels
+        img_size=config.img_size, channels=config.channels, dtype=dtype
     )
     encoder = MnistEncoder(
         latent_dim=config.latent_dim, n_classes=config.n_classes,
         code_dim=config.code_dim, img_size=config.img_size,
-        channels=config.channels,
+        channels=config.channels, dtype=dtype,
     )
+    # frozen neural regularizer stays f32 (tiny MLP; same split as bench.py)
     approximator = AffineApproximator()
 
     approx_path = opt.approximator or os.path.join(opt.ckpt_dir, "rpqmnxy_approximator.pt")

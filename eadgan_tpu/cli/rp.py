@@ -18,7 +18,7 @@ import os
 import jax
 import jax.numpy as jnp
 
-from eadgan_tpu.cli.common import add_adam_args, add_run_args, jit_generator_apply, maybe_resume, run_epochs
+from eadgan_tpu.cli.common import add_adam_args, add_run_args, jit_generator_apply, maybe_resume, resolve_compute_dtype, run_epochs
 from eadgan_tpu.data import load_dsprites
 from eadgan_tpu.models import (
     SpritesDiscriminator,
@@ -80,11 +80,15 @@ def main(argv=None, colored: bool = False) -> None:
     images = data.imgs  # uint8; per-batch native gather+normalize
 
     channels = 3 if colored else 1
-    generator = SpritesGenerator(channels=channels)
-    discriminator = SpritesDiscriminator(channels=channels)
+    dtype = resolve_compute_dtype(opt)
+    generator = SpritesGenerator(channels=channels, dtype=dtype)
+    discriminator = SpritesDiscriminator(channels=channels, dtype=dtype)
     encoder = SpritesEncoder(
-        n_classes=config.n_classes, code_dim=config.code_dim, channels=channels
+        n_classes=config.n_classes, code_dim=config.code_dim,
+        channels=channels, dtype=dtype,
     )
+    # the frozen aligner stays f32 (tiny, and its codes feed the exact
+    # 3x3 affine algebra) — same split bench.py measures
     pxy_encoder = SpritesEncoderPxy(out_dim=6 if colored else 3, channels=channels)
 
     pxy_default = (

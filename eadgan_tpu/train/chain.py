@@ -37,6 +37,7 @@ __all__ = [
     "plan_windows",
     "normalize_prepare",
     "LazyLastMetrics",
+    "EventWorker",
 ]
 
 
@@ -135,14 +136,18 @@ def normalize_prepare(
     if flip:
 
         def prep(consts, x, mask):
-            img = load(consts, x).astype(jnp.float32) * scale + shift
+            x = load(consts, x)
             if add_channel:
-                img = img[..., None]
+                x = x[..., None]
             # mirror along the width axis where mask is set
             # (torchvision RandomHorizontalFlip parity, re-drawn per
-            # batch on the host like the single-step path)
-            flipped = img[:, :, ::-1, :]
-            img = jnp.where(mask[:, None, None, None], flipped, img)
+            # batch on the host like the single-step path); flip while
+            # still uint8 — element-identical to flipping the normalized
+            # f32 (both are permutations of the same pointwise map) at a
+            # quarter of the select's byte traffic
+            flipped = x[:, :, ::-1, :]
+            x = jnp.where(mask[:, None, None, None], flipped, x)
+            img = x.astype(jnp.float32) * scale + shift
             return (img,)
 
     else:
@@ -261,6 +266,58 @@ class LazyLastMetrics:
     def items(self):
         row = self._fetch()
         return [(k, row[i]) for i, k in enumerate(self._keys)]
+
+
+class EventWorker:
+    """Single ordered background thread for event-window side effects
+    (sample grids, checkpoint writes).
+
+    A CelebA checkpoint event serializes ~620 MB of device state through
+    the tunnel plus grid renders — ~5 s measured (evidence/perf_r3) —
+    and running it inline stalls the training pipeline that long.  The
+    engine instead snapshots the train state on-device (donation-safe:
+    the copy shares no buffers with the live state the next window
+    consumes) and submits the callback here, so the fetch+serialize+PNG
+    work overlaps the next windows' device execution.  The queue is
+    bounded: if events outpace the worker, ``submit`` blocks — natural
+    backpressure, never unbounded memory.  Exceptions re-raise on the
+    next ``submit`` or at ``close`` so a failed checkpoint write cannot
+    pass silently."""
+
+    def __init__(self, maxsize: int = 2):
+        import queue
+        import threading
+
+        self._q = queue.Queue(maxsize=maxsize)
+        self._err = None
+        self._t = threading.Thread(
+            target=self._run, name="eadgan-event-worker", daemon=True
+        )
+        self._t.start()
+
+    def _run(self):
+        while True:
+            fn = self._q.get()
+            if fn is None:
+                return
+            try:
+                fn()
+            except BaseException as e:  # noqa: BLE001 — surfaced on submit/close
+                self._err = e
+
+    def _check(self):
+        if self._err is not None:
+            err, self._err = self._err, None
+            raise err
+
+    def submit(self, fn: Callable) -> None:
+        self._check()
+        self._q.put(fn)
+
+    def close(self) -> None:
+        self._q.put(None)
+        self._t.join()
+        self._check()
 
 
 class LazyHostBatch:

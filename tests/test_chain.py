@@ -450,3 +450,93 @@ def test_run_epochs_chained_data_parallel_matches():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=1e-2, atol=3e-3
         )
+
+
+# ----------------------------------------------- async event side effects
+
+
+def test_event_worker_orders_and_propagates():
+    from eadgan_tpu.train.chain import EventWorker
+
+    seen = []
+    w = EventWorker()
+    for i in range(5):
+        w.submit(lambda i=i: seen.append(i))
+    w.close()
+    assert seen == [0, 1, 2, 3, 4]
+
+    w = EventWorker()
+    w.submit(lambda: 1 / 0)
+    with pytest.raises(ZeroDivisionError):
+        w.close()
+
+
+def test_run_epochs_chained_async_event_state_snapshot():
+    """Event callbacks run on the background EventWorker with a
+    device-side SNAPSHOT of the train state, so reading state leaves
+    inside the callback AFTER later windows have donated the live
+    buffers must still work — and must yield the exact post-step values
+    the per-dispatch engine sees at the same steps."""
+    import time
+
+    rng = np.random.default_rng(11)
+    data = rng.integers(0, 256, (64, 64, 64), np.uint8)
+
+    def leaf(state):
+        return jax.tree.leaves(state.model.params)[0]
+
+    def run(chain, reads):
+        config, encoder, state = _pxy_setup(seed=7)
+        step_fn = make_pxy_step(encoder, config)
+        body = make_pxy_step(encoder, config, jit=False)
+
+        def on_batch(batches_done, st, metrics, batch):
+            if batches_done % 4 == 0:
+                # let the engine race ahead (donating the live state)
+                # before the leaves are read — only a snapshot survives
+                time.sleep(0.05)
+                reads.append((batches_done, np.asarray(leaf(st)).copy()))
+
+        run_epochs(
+            n_epochs=50, data=data, labels=None, batch_size=8,
+            state=state, step_fn=step_fn, on_batch=on_batch, seed=0,
+            max_steps=12, scale=1.0 / 127.5, shift=-1.0,
+            metric_keys=["affine_loss"], chain=chain, chain_periods=(4,),
+            step_body=body,
+        )
+
+    r1, r4 = [], []
+    run(1, r1)
+    run(4, r4)
+    assert [s for s, _ in r1] == [s for s, _ in r4] != []
+    for (_, a), (_, b) in zip(r1, r4):
+        np.testing.assert_allclose(a, b, rtol=2e-3, atol=1e-5)
+
+
+def test_resolve_compute_dtype():
+    """--compute resolution: explicit flag wins; unset defaults by
+    backend (f32 on the CPU test backend); bf16 selects the fast warp
+    unless EADGAN_WARP_PRECISION is already pinned."""
+    import argparse
+    import os
+
+    from eadgan_tpu.cli.common import resolve_compute_dtype
+
+    ns = argparse.Namespace(compute=None)
+    assert resolve_compute_dtype(ns) is None  # CPU backend -> f32
+
+    saved = os.environ.pop("EADGAN_WARP_PRECISION", None)
+    try:
+        assert resolve_compute_dtype(argparse.Namespace(compute="bf16")) is jnp.bfloat16
+        assert os.environ["EADGAN_WARP_PRECISION"] == "fast"
+        os.environ["EADGAN_WARP_PRECISION"] = "highest"
+        assert resolve_compute_dtype(argparse.Namespace(compute="bf16")) is jnp.bfloat16
+        assert os.environ["EADGAN_WARP_PRECISION"] == "highest"  # respected
+        os.environ.pop("EADGAN_WARP_PRECISION", None)
+        assert resolve_compute_dtype(argparse.Namespace(compute="f32")) is None
+        assert "EADGAN_WARP_PRECISION" not in os.environ
+    finally:
+        if saved is not None:
+            os.environ["EADGAN_WARP_PRECISION"] = saved
+        else:
+            os.environ.pop("EADGAN_WARP_PRECISION", None)
