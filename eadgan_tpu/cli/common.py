@@ -129,7 +129,10 @@ def add_run_args(parser: argparse.ArgumentParser) -> None:
         help="model compute dtype (params always stay f32). Default: "
         "bf16 on TPU — bf16 MXU passes + the fast warp, the exact "
         "configuration bench.py measures — and f32 elsewhere (golden "
-        "tests / CPU). 'f32' also selects the exact 'highest' warp",
+        "tests / CPU). 'f32' also selects the exact 'highest' warp. "
+        "GAN trainers only: the pxy/approximator pretrainers always "
+        "run f32 (their codes feed the exact 3x3 affine algebra, and "
+        "bf16 code rounding would floor the aligner's convergence)",
     )
     parser.add_argument(
         "--chain",

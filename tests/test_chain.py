@@ -540,3 +540,25 @@ def test_resolve_compute_dtype():
             os.environ["EADGAN_WARP_PRECISION"] = saved
         else:
             os.environ.pop("EADGAN_WARP_PRECISION", None)
+
+
+def test_run_epochs_chained_no_periods_legacy_callback():
+    """Callers that declare NO chain_periods keep the legacy contract:
+    on_batch fires inline once per window (with the live state), not
+    event-gated."""
+    rng = np.random.default_rng(12)
+    data = rng.integers(0, 256, (64, 64, 64), np.uint8)
+    config, encoder, state = _pxy_setup(seed=7)
+    body = make_pxy_step(encoder, config, jit=False)
+    calls = []
+
+    run_epochs(
+        n_epochs=50, data=data, labels=None, batch_size=8,
+        state=state, step_fn=make_pxy_step(encoder, config),
+        on_batch=lambda bd, *a: calls.append(bd), seed=0,
+        max_steps=8, scale=1.0 / 127.5, shift=-1.0,
+        metric_keys=["affine_loss"], chain=4, chain_periods=(),
+        step_body=body,
+    )
+    # windows of 4 -> callback at each window's last step index
+    assert calls == [3, 7]
