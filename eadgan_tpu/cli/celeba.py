@@ -142,6 +142,7 @@ def main(argv=None) -> None:
         chain=opt.chain,
         chain_periods=(config.sample_interval, config.sample_interval * 15),
         step_body=step_body,
+        watchdog=opt.watchdog,
     )
 
 

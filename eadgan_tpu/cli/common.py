@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import argparse
 import os
+import time
 from typing import Callable, Iterable, Optional
 
 import jax
@@ -137,7 +138,7 @@ def add_run_args(parser: argparse.ArgumentParser) -> None:
     parser.add_argument(
         "--chain",
         type=int,
-        default=16,
+        default=32,
         help="train steps fused into one device program per dispatch "
         "(lax.scan); amortizes the host<->device round trip. 1 = "
         "dispatch per step (debugging; --sample_interval 1 degenerates "
@@ -148,6 +149,15 @@ def add_run_args(parser: argparse.ArgumentParser) -> None:
         action="store_true",
         help="shard batches over all local devices (params replicated; "
         "XLA SPMD inserts the psum gradient reductions)",
+    )
+    parser.add_argument(
+        "--watchdog",
+        type=float,
+        default=0.0,
+        help="stall watchdog: if no training progress for this many "
+        "seconds (first window gets a compile allowance, see "
+        "utils/watchdog.py), dump all thread stacks and exit 87 so "
+        "cli.supervise can relaunch with --resume auto. 0 = off",
     )
 
 
@@ -172,6 +182,7 @@ def run_epochs(
     chain: int = 1,
     chain_periods: tuple = (),
     step_body: Optional[Callable] = None,
+    watchdog: float = 0.0,
 ):
     """The reference's epoch/batch double loop with device prefetching.
 
@@ -210,6 +221,47 @@ def run_epochs(
         on_batch = lambda *a, **k: None  # noqa: E731
         logger = None
 
+    # Stall watchdog (``--watchdog N``): a heartbeat lands after every
+    # completed dispatch below; a daemon thread hard-exits the process
+    # with STALL_EXIT_CODE if none lands for ``watchdog`` seconds —
+    # recovery for hung tunnel RPCs that freeze the host thread outside
+    # Python's reach (utils/watchdog.py; cli/supervise.py relaunches).
+    wd = None
+    beat = lambda step: None  # noqa: E731
+    grace = lambda: None  # noqa: E731
+    if watchdog:
+        from eadgan_tpu.utils.watchdog import Watchdog
+
+        wd = Watchdog(watchdog).start()
+        beat = wd.beat
+        grace = wd.grace
+        clear_grace = wd.clear_grace
+    else:
+        clear_grace = lambda: None  # noqa: E731
+
+    # Fault injection for watchdog/supervisor drills: hang forever right
+    # after the given step completes, mimicking the observed wedged-RPC
+    # failure (host thread parked, device idle).  The fault is TRANSIENT
+    # like the real one: EADGAN_FAULT_HANG_MARKER names a file created
+    # when the hang fires, and a process that finds it pre-existing (the
+    # supervised restart) skips the fault.  Test/drill hook only.
+    hang_at = int(os.environ.get("EADGAN_FAULT_HANG_STEP", 0) or 0)
+    if hang_at:
+        marker = os.environ.get("EADGAN_FAULT_HANG_MARKER", "")
+        if marker and os.path.exists(marker):
+            hang_at = 0
+    if hang_at:
+        inner_beat = beat
+
+        def beat(step, _inner=inner_beat):  # noqa: F811
+            if step >= hang_at:
+                if marker:
+                    open(marker, "w").close()
+                print(f"fault injection: hanging at step {step}", flush=True)
+                while True:
+                    time.sleep(3600)
+            _inner(step)
+
     try:
         with trace(profile_dir or None):
             if chain > 1 and step_body is not None:
@@ -220,16 +272,19 @@ def run_epochs(
                     logger=logger, metric_keys=metric_keys, scale=scale,
                     shift=shift, random_flip=random_flip,
                     data_parallel=data_parallel, chain=chain,
-                    chain_periods=chain_periods,
+                    chain_periods=chain_periods, beat=beat, grace=grace,
+                    clear_grace=clear_grace,
                 )
             return _run_epochs_inner(
                 n_epochs=n_epochs, data=data, labels=labels, batch_size=batch_size,
                 state=state, step_fn=step_fn, on_batch=on_batch, seed=seed,
                 max_steps=max_steps, logger=logger, metric_keys=metric_keys,
                 scale=scale, shift=shift, random_flip=random_flip,
-                data_parallel=data_parallel,
+                data_parallel=data_parallel, beat=beat,
             )
     finally:
+        if wd is not None:
+            wd.stop()
         if owned_logger is not None:
             owned_logger.close()  # flush buffered JSONL records
 
@@ -237,7 +292,7 @@ def run_epochs(
 def _run_epochs_inner(
     *, n_epochs, data, labels, batch_size, state, step_fn, on_batch,
     seed, max_steps, logger, metric_keys, scale, shift, random_flip,
-    data_parallel,
+    data_parallel, beat=lambda step: None,
 ):
     host_rng = np.random.default_rng(seed)
     # Dedicated stream for per-batch flip draws: ``place`` runs in the
@@ -307,6 +362,7 @@ def _run_epochs_inner(
                     )
                 on_batch(batches_done, state, metrics, batch)
                 batches_done += 1
+                beat(batches_done)
                 if max_steps and batches_done - start_step >= max_steps:
                     return state
         finally:
@@ -317,7 +373,8 @@ def _run_epochs_inner(
 def _run_epochs_chained(
     *, n_epochs, data, labels, batch_size, state, step_body, on_batch,
     seed, max_steps, logger, metric_keys, scale, shift, random_flip,
-    data_parallel, chain, chain_periods,
+    data_parallel, chain, chain_periods, beat=lambda step: None,
+    grace=lambda: None, clear_grace=lambda: None,
 ):
     """In-graph multi-step engine: windows of up to ``chain`` steps run
     as one ``lax.scan`` program (train/chain.py).
@@ -445,6 +502,8 @@ def _run_epochs_chained(
 
     batches_done = start_step
     epoch = start_step // max(n_batches, 1)
+    seen_sizes = set()  # window sizes this process has compiled
+    grace_end = None  # end step of an in-flight freshly-compiled window
     try:
         while epoch < n_epochs and (stop is None or batches_done < stop):
             perm = host_rng.permutation(data.shape[0])
@@ -492,25 +551,31 @@ def _run_epochs_chained(
             pending = None  # previous window's (start, k, stacked device metrics)
 
             def drain():
-                nonlocal pending
+                nonlocal pending, grace_end
                 if pending is None:
                     return
                 ps, pk, stacked = pending
                 pending = None
-                if logger is None:
-                    # nothing to print (e.g. non-coordinator process): skip
-                    # the blocking per-window device fetch entirely
-                    return
-                keys = tuple(chained.resolved_pack_keys)
-                rows = np.asarray(stacked)  # ONE (K, M) fetch
-                arrs = {m: rows[:, j] for j, m in enumerate(keys)}
-                shown = tuple(metric_keys) if metric_keys else keys
-                for i in range(pk):
-                    logger.log(
-                        ps + i, {m: arrs[m][i] for m in shown},
-                        epoch=epoch, n_epochs=n_epochs,
-                        batch=(ps + i) % n_batches, n_batches=n_batches,
-                    )
+                if logger is not None:
+                    keys = tuple(chained.resolved_pack_keys)
+                    rows = np.asarray(stacked)  # ONE (K, M) fetch
+                    arrs = {m: rows[:, j] for j, m in enumerate(keys)}
+                    shown = tuple(metric_keys) if metric_keys else keys
+                    for i in range(pk):
+                        logger.log(
+                            ps + i, {m: arrs[m][i] for m in shown},
+                            epoch=epoch, n_epochs=n_epochs,
+                            batch=(ps + i) % n_batches, n_batches=n_batches,
+                        )
+                # With no logger (non-coordinator process) the blocking
+                # fetch above is skipped — clear anyway: detection of a
+                # real stall during an active grace is merely delayed to
+                # the grace's own expiry, once per fresh window size.
+                if grace_end is not None and ps + pk >= grace_end:
+                    # the freshly-compiled window's metrics came back:
+                    # its compile completed, steady timeout governs again
+                    grace_end = None
+                    clear_grace()
 
             # EADGAN_CHAIN_TRACE=<path>: append one JSONL record per window
             # with host-side phase timings (iter = prefetch wait + host gather,
@@ -528,6 +593,16 @@ def _run_epochs_chained(
             try:
                 t_prev = None
                 for (s, k, last_rows, last_mask), win_arrays in iterator:
+                    if k not in seen_sizes:
+                        # Fresh window size = fresh XLA program: give the
+                        # watchdog a compile allowance.  Dispatch is async
+                        # through the tunnel, so the compile's host-visible
+                        # block lands at the NEXT drain — the grace is
+                        # released only when THIS window's metrics have
+                        # been fetched (drain clears it at >= grace_end).
+                        seen_sizes.add(k)
+                        grace()
+                        grace_end = s + k
                     if trace is not None:
                         t0 = _time.perf_counter()
                     state, stacked = chained(state, consts, *win_arrays)
@@ -540,6 +615,9 @@ def _run_epochs_chained(
                         t2 = _time.perf_counter()
                     pending = (s, k, stacked)
                     batches_done = s + k
+                    # heartbeat after the previous window's metrics were
+                    # fetched (drain above): proven device-side progress
+                    beat(batches_done)
                     is_event = any(
                         (s + k - 1) % p == 0 for p in chain_periods if p
                     )

@@ -193,6 +193,7 @@ def main(argv=None, colored: bool = False) -> None:
         chain=opt.chain,
         chain_periods=(config.sample_interval * 2, save_every),
         step_body=step_body,
+        watchdog=opt.watchdog,
     )
 
 

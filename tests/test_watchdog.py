@@ -1,0 +1,236 @@
+"""Stall watchdog + supervised restart (utils/watchdog.py, cli/supervise.py).
+
+The failure these protect against was observed live: the 600k-step
+CelebA soak wedged once on a hung tunnel RPC and needed a manual
+kill + ``--resume auto`` relaunch (evidence/soak_r3/celeba_600k/).
+The reference has no counterpart — a crash loses the run (SURVEY.md
+section 5, checkpoints are save-only).
+"""
+
+import json
+import os
+import subprocess
+import sys
+import textwrap
+import time
+
+import pytest
+
+from eadgan_tpu.utils.watchdog import STALL_EXIT_CODE, Watchdog
+
+
+def _wait_for(predicate, timeout=5.0):
+    deadline = time.monotonic() + timeout
+    while time.monotonic() < deadline:
+        if predicate():
+            return True
+        time.sleep(0.01)
+    return predicate()
+
+
+def test_fires_without_beats():
+    fired = []
+    wd = Watchdog(0.15, first_timeout=0.15, on_stall=fired.append).start()
+    try:
+        assert _wait_for(lambda: fired)
+        assert fired[0]["event"] == "watchdog_stall"
+        assert fired[0]["exit_code"] == STALL_EXIT_CODE
+        assert fired[0]["step"] is None  # never beat
+    finally:
+        wd.stop()
+
+
+def test_beats_prevent_firing():
+    fired = []
+    wd = Watchdog(0.3, first_timeout=0.3, on_stall=fired.append).start()
+    try:
+        for step in range(12):
+            wd.beat(step)
+            time.sleep(0.05)  # 0.6 s total, each gap well under timeout
+        assert not fired
+    finally:
+        wd.stop()
+    time.sleep(0.2)
+    assert not fired  # stop() disarms: no late firing either
+
+
+def test_first_timeout_covers_the_compile_window():
+    """Before the first beat the (larger) first_timeout applies — the
+    first window includes the 30 s - 7 min remote train-step compile."""
+    fired = []
+    wd = Watchdog(0.1, first_timeout=0.8, on_stall=fired.append).start()
+    try:
+        time.sleep(0.35)  # >> timeout, << first_timeout: must not fire
+        assert not fired
+        wd.beat(1)
+        assert _wait_for(lambda: fired)  # now the steady timeout governs
+        assert fired[0]["step"] == 1
+    finally:
+        wd.stop()
+
+
+def test_grace_survives_beats_until_released():
+    """grace() models a known-expensive in-flight compile.  Dispatch is
+    async through the tunnel, so heartbeats keep landing while the
+    compile is pending — beats must NOT release the grace; only
+    clear_grace() (the engine fetched the compiled window's metrics)
+    or the grace's own expiry does."""
+    fired = []
+    wd = Watchdog(0.15, first_timeout=0.15, on_stall=fired.append).start()
+    try:
+        wd.beat(1)
+        wd.grace(5.0)
+        wd.beat(2)  # async dispatch returned; compile still in flight
+        time.sleep(0.5)  # >> timeout, << grace: must not fire
+        assert not fired
+        wd.clear_grace()  # engine drained the compiled window's metrics
+        assert _wait_for(lambda: fired)  # steady timeout governs again
+        assert fired[0]["step"] == 2
+    finally:
+        wd.stop()
+
+
+def test_grace_expires_on_its_own():
+    """A grace that is never explicitly released still expires, so a
+    real stall during it is detected (bounded delay, not a blind spot)."""
+    fired = []
+    wd = Watchdog(0.1, first_timeout=0.1, on_stall=fired.append).start()
+    try:
+        wd.beat(1)
+        wd.grace(0.3)
+        assert _wait_for(lambda: fired, timeout=2.0)
+    finally:
+        wd.stop()
+
+
+def test_rejects_nonpositive_timeout():
+    with pytest.raises(ValueError):
+        Watchdog(0.0)
+
+
+STUB_TRAINER = textwrap.dedent(
+    """
+    import argparse, json, os, time
+    from eadgan_tpu.utils.watchdog import Watchdog
+
+    p = argparse.ArgumentParser()
+    p.add_argument("--resume", default="")
+    p.add_argument("--state_dir", required=True)
+    opt = p.parse_args()
+
+    ckpt = os.path.join(opt.state_dir, "ckpt.json")
+    step = 0
+    if opt.resume == "auto" and os.path.exists(ckpt):
+        with open(ckpt) as f:
+            step = json.load(f)["step"]
+        print(f"resumed from step {step}", flush=True)
+
+    wd = Watchdog(0.4, first_timeout=2.0).start()
+    for s in range(step, 8):
+        time.sleep(0.02)  # the "train step"
+        with open(ckpt, "w") as f:
+            json.dump({"step": s + 1}, f)
+        wd.beat(s + 1)
+        if s + 1 == 4 and opt.resume != "auto":
+            # injected wedge on the first life only: host thread parked
+            # outside Python's reach, exactly like the soak's hung RPC
+            time.sleep(3600)
+    wd.stop()
+    print("stub trainer finished", flush=True)
+    """
+)
+
+
+def test_supervise_restarts_a_wedged_trainer(tmp_path, capsys, monkeypatch):
+    """End to end: trainer wedges mid-run -> watchdog exits 87 ->
+    supervise relaunches with --resume auto -> run completes from the
+    checkpoint."""
+    from eadgan_tpu.cli import supervise
+
+    pkg = tmp_path / "wdstub"
+    pkg.mkdir()
+    (pkg / "__init__.py").write_text("")
+    (pkg / "trainer.py").write_text(STUB_TRAINER)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    extra = os.environ.get("PYTHONPATH", "")
+    monkeypatch.setenv(
+        "PYTHONPATH", os.pathsep.join(filter(None, [str(tmp_path), repo, extra]))
+    )
+
+    supervise.main(
+        ["--max_restarts", "2", "wdstub.trainer", "--state_dir", str(tmp_path)]
+    )
+
+    with open(tmp_path / "ckpt.json") as f:
+        assert json.load(f)["step"] == 8
+    out = capsys.readouterr().out
+    assert "restart 1/2 with --resume auto" in out
+    assert "finished cleanly after 1 restart(s)" in out
+
+
+def test_supervise_gives_up_after_budget(tmp_path, monkeypatch):
+    """A trainer that always stalls exhausts --max_restarts and the
+    stall code propagates."""
+    pkg = tmp_path / "wdstub2"
+    pkg.mkdir()
+    (pkg / "__init__.py").write_text("")
+    (pkg / "trainer.py").write_text(
+        textwrap.dedent(
+            """
+            import sys, time
+            from eadgan_tpu.utils.watchdog import Watchdog
+            Watchdog(0.3, first_timeout=0.3).start()
+            time.sleep(3600)
+            """
+        )
+    )
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    extra = os.environ.get("PYTHONPATH", "")
+    env = dict(
+        os.environ,
+        PYTHONPATH=os.pathsep.join(filter(None, [str(tmp_path), repo, extra])),
+    )
+    proc = subprocess.run(
+        [
+            sys.executable, "-m", "eadgan_tpu.cli.supervise",
+            "--max_restarts", "1", "wdstub2.trainer",
+        ],
+        env=env, capture_output=True, text=True, timeout=120,
+    )
+    assert proc.returncode == STALL_EXIT_CODE
+    assert "restart 1/1" in proc.stdout
+    assert "giving up" in proc.stdout
+
+
+def test_stalled_process_exits_with_code_and_stacks(tmp_path):
+    """The default on_stall action: diagnostics on stderr + hard exit
+    with STALL_EXIT_CODE (what cli.supervise keys on)."""
+    script = tmp_path / "wedge.py"
+    script.write_text(
+        textwrap.dedent(
+            """
+            import time
+            from eadgan_tpu.utils.watchdog import Watchdog
+            wd = Watchdog(0.3, first_timeout=0.3, diag_path="stall_diag.txt").start()
+            wd.beat(7)
+            time.sleep(3600)
+            """
+        )
+    )
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    extra = os.environ.get("PYTHONPATH", "")
+    env = dict(
+        os.environ, PYTHONPATH=os.pathsep.join(filter(None, [repo, extra]))
+    )
+    proc = subprocess.run(
+        [sys.executable, str(script)],
+        env=env, cwd=tmp_path, capture_output=True, text=True, timeout=120,
+    )
+    assert proc.returncode == STALL_EXIT_CODE
+    assert "watchdog_stall" in proc.stderr
+    assert "Thread" in proc.stderr or "Current thread" in proc.stderr
+    diag = (tmp_path / "stall_diag.txt").read_text()
+    record = json.loads(diag.splitlines()[0])
+    assert record["step"] == 7
+    # the wedged main-thread stack is captured (faulthandler file:line form)
+    assert "wedge.py" in diag and "line 6" in diag
