@@ -134,6 +134,7 @@ def main(argv=None) -> None:
         max_steps=opt.max_steps,
         logger=logger,
         data_parallel=opt.data_parallel,
+        zero_opt=opt.zero_opt,
         profile_dir=opt.profile_dir,
         metric_keys=["d_loss", "g_loss"],
         scale=1.0 / 127.5,

@@ -151,6 +151,14 @@ def add_run_args(parser: argparse.ArgumentParser) -> None:
         "XLA SPMD inserts the psum gradient reductions)",
     )
     parser.add_argument(
+        "--zero_opt",
+        action="store_true",
+        help="with --data_parallel: shard the Adam moments over the "
+        "data axis (ZeRO-1, parallel/zero.py) instead of replicating "
+        "them — ~1/N the optimizer memory per device; params stay "
+        "replicated. Requires the chained engine (--chain > 1)",
+    )
+    parser.add_argument(
         "--watchdog",
         type=float,
         default=0.0,
@@ -178,6 +186,7 @@ def run_epochs(
     shift: float = 0.0,
     random_flip: bool = False,
     data_parallel: bool = False,
+    zero_opt: bool = False,
     profile_dir: str = "",
     chain: int = 1,
     chain_periods: tuple = (),
@@ -262,6 +271,13 @@ def run_epochs(
                     time.sleep(3600)
             _inner(step)
 
+    if zero_opt and not (data_parallel and chain > 1 and step_body is not None):
+        raise ValueError(
+            "--zero_opt shards optimizer state over the data mesh axis: "
+            "it requires --data_parallel and the chained engine "
+            "(--chain > 1)"
+        )
+
     try:
         with trace(profile_dir or None):
             if chain > 1 and step_body is not None:
@@ -271,7 +287,8 @@ def run_epochs(
                     on_batch=on_batch, seed=seed, max_steps=max_steps,
                     logger=logger, metric_keys=metric_keys, scale=scale,
                     shift=shift, random_flip=random_flip,
-                    data_parallel=data_parallel, chain=chain,
+                    data_parallel=data_parallel, zero_opt=zero_opt,
+                    chain=chain,
                     chain_periods=chain_periods, beat=beat, grace=grace,
                     clear_grace=clear_grace,
                 )
@@ -373,7 +390,8 @@ def _run_epochs_inner(
 def _run_epochs_chained(
     *, n_epochs, data, labels, batch_size, state, step_body, on_batch,
     seed, max_steps, logger, metric_keys, scale, shift, random_flip,
-    data_parallel, chain, chain_periods, beat=lambda step: None,
+    data_parallel, chain, chain_periods, zero_opt=False,
+    beat=lambda step: None,
     grace=lambda: None, clear_grace=lambda: None,
 ):
     """In-graph multi-step engine: windows of up to ``chain`` steps run
@@ -413,6 +431,18 @@ def _run_epochs_chained(
         mesh = default_mesh()
         state = replicate(mesh, state)
         device_put = lambda w: shard_window(mesh, w)  # noqa: E731
+        if zero_opt:
+            # ZeRO-1: Adam moments sharded over the data axis, params
+            # replicated; the output-state constraint pins that contract
+            # through every scanned window (parallel/zero.py).
+            from eadgan_tpu.parallel import (
+                constrain_like,
+                state_shardings,
+                zero_place,
+            )
+
+            state = zero_place(mesh, state)
+            step_body = constrain_like(step_body, state_shardings(state))
 
     use_native = data.dtype == np.uint8 and labels is None
     if random_flip and not use_native:

@@ -145,6 +145,7 @@ def main(argv=None) -> None:
         max_steps=opt.max_steps,
         logger=logger,
         data_parallel=opt.data_parallel,
+        zero_opt=opt.zero_opt,
         profile_dir=opt.profile_dir,
         # full metric set of the MNIST step — enables the packed
         # chained-metric path (train/chain.py)

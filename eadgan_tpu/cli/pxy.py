@@ -126,6 +126,7 @@ def main(argv=None, colored: bool = False) -> None:
         max_steps=opt.max_steps,
         logger=logger,
         data_parallel=opt.data_parallel,
+        zero_opt=opt.zero_opt,
         profile_dir=opt.profile_dir,
         metric_keys=["affine_loss"],
         chain=opt.chain,

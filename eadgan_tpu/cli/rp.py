@@ -182,6 +182,7 @@ def main(argv=None, colored: bool = False) -> None:
         max_steps=opt.max_steps,
         logger=logger,
         data_parallel=opt.data_parallel,
+        zero_opt=opt.zero_opt,
         profile_dir=opt.profile_dir,
         # full metric set of the dSprites step, in emission order — the
         # explicit list enables the packed (K, M) chained-metric path

@@ -18,6 +18,13 @@ from eadgan_tpu.parallel.mesh import (
     shard_model_params,
     shard_window,
 )
+from eadgan_tpu.parallel.zero import (
+    constrain_like,
+    shard_opt_over_data,
+    state_shardings,
+    zero_place,
+    zero_spec,
+)
 from eadgan_tpu.parallel.multihost import (
     global_batch_from_host,
     host_barrier,
@@ -35,6 +42,11 @@ __all__ = [
     "shard_window",
     "replicate",
     "shard_model_params",
+    "zero_spec",
+    "shard_opt_over_data",
+    "zero_place",
+    "state_shardings",
+    "constrain_like",
     "initialize",
     "host_batch_slice",
     "global_batch_from_host",

@@ -142,6 +142,134 @@ def test_celeba_step_2d_mesh(rng):
             )
 
 
+def test_zero_opt_sharding_matches_replicated_dp(rng):
+    """ZeRO-1 (parallel/zero.py): Adam moments sharded over the data
+    axis must (a) compute the same losses as replicated DP, (b) leave
+    params replicated and moments sharded after the step — the explicit
+    ``constrain_like`` contract, not GSPMD propagation luck — and
+    (c) actually shrink the per-device optimizer footprint."""
+    from eadgan_tpu.parallel import (
+        constrain_like,
+        state_shardings,
+        zero_place,
+    )
+
+    config = SpritesGanConfig()
+    g, d, e, pxy = (
+        SpritesGenerator(),
+        SpritesDiscriminator(),
+        SpritesEncoder(),
+        SpritesEncoderPxy(),
+    )
+    pxy_vars = pxy.init(jax.random.PRNGKey(1), jnp.zeros((1, 64, 64, 1)))
+    state0 = init_sprites_gan_state(g, d, e, pxy, pxy_vars, config, jax.random.PRNGKey(0))
+    step = make_sprites_gan_step(g, d, e, pxy, config)
+    body = make_sprites_gan_step(g, d, e, pxy, config, jit=False)
+    img = jnp.asarray(rng.uniform(0, 1, (16, 64, 64, 1)).astype(np.float32))
+
+    mesh = default_mesh()
+    state_r = replicate(mesh, state0)
+    _, metrics_dp = step(state_r, shard_batch(mesh, img))
+
+    state_z = zero_place(mesh, replicate(mesh, state0))
+    zstep = jax.jit(constrain_like(body, state_shardings(state_z)))
+    out, metrics_z = zstep(state_z, shard_batch(mesh, img))
+
+    # (a) same numbers as replicated DP
+    for k in metrics_dp:
+        np.testing.assert_allclose(
+            float(metrics_dp[k]), float(metrics_z[k]), rtol=2e-4, atol=1e-5
+        )
+
+    # (b) placement contract holds on the OUTPUT state
+    for leaf in jax.tree.leaves(out.g.params) + jax.tree.leaves(out.d.params):
+        assert leaf.sharding.is_fully_replicated
+    sharded = [
+        x
+        for x in jax.tree.leaves((out.opt_d, out.opt_info))
+        if not x.sharding.is_fully_replicated
+    ]
+    assert len(sharded) >= 10, len(sharded)
+    for x in sharded:
+        assert x.addressable_shards[0].data.nbytes == x.nbytes // 8
+
+    # (c) real memory saving: per-device moment bytes well under total
+    total = sum(x.nbytes for x in jax.tree.leaves((out.opt_d, out.opt_info)))
+    per_dev = sum(
+        x.addressable_shards[0].data.nbytes
+        for x in jax.tree.leaves((out.opt_d, out.opt_info))
+    )
+    assert per_dev < total / 4, (per_dev, total)
+
+    # (d) a second step from the ZeRO state keeps the contract (the
+    # constraint must survive being re-entered with sharded inputs)
+    out2, metrics2 = zstep(out, shard_batch(mesh, img))
+    assert all(np.isfinite(float(v)) for v in metrics2.values())
+    assert jax.tree.leaves(out2.g.params)[0].sharding.is_fully_replicated
+
+
+def test_zero_opt_chained_engine(rng):
+    """The production path: a K=2 chained window over the ZeRO-wrapped
+    body must keep the placement through the scan and match the
+    unchained two-step trajectory."""
+    from eadgan_tpu.parallel import (
+        constrain_like,
+        shard_window,
+        state_shardings,
+        zero_place,
+    )
+    from eadgan_tpu.train.chain import make_chained_step
+    from eadgan_tpu.train.config import PxyConfig
+    from eadgan_tpu.train.pretrain import init_pxy_state, make_pxy_step
+
+    config = PxyConfig()
+    pxy = SpritesEncoderPxy()
+    state0 = init_pxy_state(pxy, config, jax.random.PRNGKey(0))
+    body = make_pxy_step(pxy, config, jit=False)
+    window_host = rng.uniform(0, 1, (2, 16, 64, 64, 1)).astype(np.float32)
+
+    # unchained reference trajectory (single device)
+    s_ref = state0
+    ref_losses = []
+    step = make_pxy_step(pxy, config)
+    for i in range(2):
+        s_ref, m = step(s_ref, jnp.asarray(window_host[i]))
+        ref_losses.append(float(m["affine_loss"]))
+
+    mesh = default_mesh()
+    state = zero_place(mesh, replicate(mesh, state0))
+    zbody = constrain_like(body, state_shardings(state))
+    chained = make_chained_step(zbody, donate=False, pack_keys="auto")
+    out, packed = chained(state, (), shard_window(mesh, jnp.asarray(window_host)))
+
+    np.testing.assert_allclose(
+        np.asarray(packed)[:, 0], ref_losses, rtol=2e-4, atol=1e-5
+    )
+    assert jax.tree.leaves(out.model.params)[0].sharding.is_fully_replicated
+    assert any(
+        not x.sharding.is_fully_replicated for x in jax.tree.leaves(out.opt)
+    )
+
+
+def test_zero_opt_cli_flag_contract():
+    """--zero_opt without --data_parallel / the chained engine is a
+    configuration error, not a silent no-op."""
+    from eadgan_tpu.cli.common import run_epochs
+
+    with pytest.raises(ValueError, match="zero_opt"):
+        run_epochs(
+            n_epochs=1,
+            data=np.zeros((4, 8, 8), np.uint8),
+            labels=None,
+            batch_size=2,
+            state=None,
+            step_fn=lambda s, b: (s, {}),
+            on_batch=lambda *a: None,
+            zero_opt=True,
+            data_parallel=False,
+        )
+
+
 def test_multihost_single_process_contract(rng, monkeypatch):
     """initialize() must be a no-op outside a cluster; host slice covers
     the full batch for one process; global assembly is data-sharded."""
