@@ -136,13 +136,35 @@ def sync(tag: str = "eadgan") -> None:
 
 
 def save_on_coordinator(path: str, tree) -> None:
-    """Write ``tree`` (replicated train state) as flax msgpack from
-    process 0 only, with a barrier so no process races past an
-    incomplete file.  Single-process this degenerates to a plain save."""
+    """Write ``tree`` as flax msgpack from process 0 only, with a
+    barrier so no process races past an incomplete file.  Single-process
+    this degenerates to a plain save.
+
+    Leaves sharded ACROSS processes (ZeRO-1 moments under ``--zero_opt``,
+    parallel/zero.py — each process owns only its slice) are first
+    assembled with a ``process_allgather`` collective; that gather runs
+    on EVERY process (collectives must be dispatched symmetrically), so
+    it happens before the coordinator gate.  Fully-addressable and
+    replicated leaves (params, the TP-sharded kernels whose every global
+    index has a process-local replica) skip the collective and fetch
+    directly.  The written file is therefore byte-identical to a
+    single-process save and restores under any process count."""
     from eadgan_tpu.train.checkpoint import save_pytree
 
+    def fetch(x):
+        if (
+            hasattr(x, "sharding")
+            and not x.is_fully_addressable
+            and not x.is_fully_replicated
+        ):
+            from jax.experimental import multihost_utils
+
+            return multihost_utils.process_allgather(x, tiled=True)
+        return x
+
+    host_tree = jax.tree.map(fetch, tree)
     if is_coordinator():
-        save_pytree(path, jax.device_get(tree))
+        save_pytree(path, jax.device_get(host_tree))
     sync("ckpt:" + path)
 
 

@@ -117,7 +117,23 @@ def _build_celeba2d():
     return state, step, place, (16, 64, 64, 3)
 
 
-_PIPELINES = {"dsprites": _build_dsprites, "celeba2d": _build_celeba2d}
+def _build_dsprites_zero():
+    """dSprites DP step with ZeRO-1 optimizer sharding (parallel/zero.py):
+    the Adam moment slices live on different PROCESSES here, so the
+    reduce-scatter of the moment update and the all-gather that rebuilds
+    replicated params both cross the process boundary."""
+    from eadgan_tpu.parallel import default_mesh, zero_place
+
+    state, step, place, shape = _build_dsprites()
+    mesh = default_mesh()
+    return state, step, (lambda s: zero_place(mesh, place(s))), shape
+
+
+_PIPELINES = {
+    "dsprites": _build_dsprites,
+    "celeba2d": _build_celeba2d,
+    "dsprites_zero": _build_dsprites_zero,
+}
 
 
 def run_steps(
@@ -151,7 +167,7 @@ def run_steps(
     from eadgan_tpu.train.checkpoint import restore_pytree
 
     state, step, place, batch_shape = _PIPELINES[pipeline]()
-    mesh = default_mesh() if pipeline == "dsprites" else default_mesh(model_parallel=2)
+    mesh = default_mesh(model_parallel=2 if pipeline == "celeba2d" else 1)
 
     if resume:
         # every process reads the same replicated-state file and
@@ -338,7 +354,7 @@ def launch(opt) -> int:
     # (measured rel drift ~4e-3 by step 3-4 — same bars as
     # tests/test_parallel.py's trajectory check); the DP pipeline must be
     # bit-tight at every step.
-    dp = opt.pipeline == "dsprites"
+    dp = opt.pipeline in ("dsprites", "dsprites_zero")
     rtol, rtol_post = (2e-4, 2e-4) if dp else (1e-3, 1e-2)
     rows = []
     ok = _compare(rows, True, "train", base["steps"], multi["steps"], rtol)
