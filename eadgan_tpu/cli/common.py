@@ -1,12 +1,16 @@
-"""Shared CLI plumbing: argparse defaults, epoch engine, model apply
-wrappers."""
+"""Shared CLI plumbing: argparse defaults, resume handling, platform /
+compile-cache setup.
+
+The training engines themselves live in ``eadgan_tpu/train/engine.py``
+(the documented library API); this module re-exports ``run_epochs`` and
+``jit_generator_apply`` for the CLI entry points and keeps only the
+process-level concerns a CLI owns: the EADGAN_PLATFORM escape hatch,
+the persistent compile cache, flag definitions, and ``--resume``."""
 
 from __future__ import annotations
 
 import argparse
 import os
-import time
-from typing import Callable, Iterable, Optional
 
 import jax
 
@@ -46,10 +50,9 @@ if not _cpu_forced():
     except Exception:
         pass
 
-import numpy as np
-
-from eadgan_tpu.data import Prefetcher, epoch_batches
-from eadgan_tpu.utils import MetricLogger
+# Re-exported engine entry points (the platform/cache setup above must
+# run BEFORE this import pulls in jax-using modules).
+from eadgan_tpu.train.engine import jit_generator_apply, run_epochs  # noqa: E402,F401
 
 __all__ = [
     "add_adam_args",
@@ -62,21 +65,24 @@ __all__ = [
 
 def maybe_resume(state, resume: str, ckpt_dir: str, stem: str):
     """Handle --resume: a path restores that train state; the literal
-    ``auto`` restores the newest ``<stem>_%d.ckpt`` in ckpt_dir (no-op
-    when none exist) — crash recovery without bookkeeping."""
-    from eadgan_tpu.train.checkpoint import latest_step, restore_pytree
+    ``auto`` restores the newest *loadable* ``<stem>_%d.ckpt`` in
+    ckpt_dir (no-op when none exist) — crash recovery without
+    bookkeeping.  A newest file that fails to deserialize (truncated by
+    a pre-atomic-writer crash, damaged on disk) is skipped with a
+    warning rather than crashing the supervised restart loop
+    (train/checkpoint.py::restore_latest)."""
+    from eadgan_tpu.train.checkpoint import restore_latest, restore_pytree
 
     if not resume:
         return state
     if resume != "auto":
         return restore_pytree(resume, state)
-    step = latest_step(ckpt_dir, stem)
+    restored, step = restore_latest(ckpt_dir, stem, state)
     if step < 0:
-        print(f"--resume auto: no {stem}_*.ckpt in {ckpt_dir}, starting fresh")
+        print(f"--resume auto: no loadable {stem}_*.ckpt in {ckpt_dir}, starting fresh")
         return state
-    path = os.path.join(ckpt_dir, f"{stem}_{step}.ckpt")
-    print(f"--resume auto: restoring {path}")
-    return restore_pytree(path, state)
+    print(f"--resume auto: restoring {os.path.join(ckpt_dir, f'{stem}_{step}.ckpt')}")
+    return restored
 
 
 def resolve_compute_dtype(opt):
@@ -167,556 +173,3 @@ def add_run_args(parser: argparse.ArgumentParser) -> None:
         "utils/watchdog.py), dump all thread stacks and exit 87 so "
         "cli.supervise can relaunch with --resume auto. 0 = off",
     )
-
-
-def run_epochs(
-    *,
-    n_epochs: int,
-    data: np.ndarray,
-    labels: Optional[np.ndarray],
-    batch_size: int,
-    state,
-    step_fn: Callable,
-    on_batch: Callable,
-    seed: int = 0,
-    max_steps: int = 0,
-    logger: Optional[MetricLogger] = None,
-    metric_keys: Optional[Iterable[str]] = None,
-    scale: float = 1.0,
-    shift: float = 0.0,
-    random_flip: bool = False,
-    data_parallel: bool = False,
-    zero_opt: bool = False,
-    profile_dir: str = "",
-    chain: int = 1,
-    chain_periods: tuple = (),
-    step_body: Optional[Callable] = None,
-    watchdog: float = 0.0,
-):
-    """The reference's epoch/batch double loop with device prefetching.
-
-    ``on_batch(batches_done, state, metrics, batch)`` handles sampling /
-    checkpoint side effects; ``step_fn(state, *batch) -> (state, metrics)``.
-
-    uint8 ``data`` stays uint8 in host RAM; per-batch gather + float
-    conversion + ``* scale + shift`` normalization run fused in the
-    native batcher (eadgan_tpu/data/native.py) inside the prefetch
-    thread — the full-dataset float copy (12 GB for dSprites) is never
-    materialized.
-
-    ``chain > 1`` (with ``step_body``, the un-jitted step) switches to
-    the in-graph multi-step engine (train/chain.py): up to ``chain``
-    steps run as ONE ``lax.scan`` program per dispatch, amortizing the
-    host<->device round trip that otherwise dominates through the
-    remote-execution tunnel.  ``chain_periods`` are the side-effect
-    intervals of ``on_batch`` (sample / checkpoint); windows are clamped
-    so those step indices land exactly at window ends, where the true
-    post-step state exists — behavior is step-for-step identical to the
-    per-dispatch engine (tests/test_chain.py pins it).
-    """
-    from eadgan_tpu.utils import trace
-
-    # Multi-process contract: side effects (sample grids, checkpoints,
-    # log lines) run on the coordinator only — metrics are replicated
-    # scalars, the train state is replicated, so every other process
-    # would write byte-identical duplicates (parallel/multihost.py
-    # is_coordinator docstring; exercised by tools/multiprocess_drive.py
-    # --ckpt).  Trainers that must write from a callback in multi-process
-    # runs should route through parallel.save_on_coordinator.
-    from eadgan_tpu.parallel import is_coordinator
-
-    owned_logger = logger  # close the caller's logger even when gated off
-    if not is_coordinator():
-        on_batch = lambda *a, **k: None  # noqa: E731
-        logger = None
-
-    # Stall watchdog (``--watchdog N``): a heartbeat lands after every
-    # completed dispatch below; a daemon thread hard-exits the process
-    # with STALL_EXIT_CODE if none lands for ``watchdog`` seconds —
-    # recovery for hung tunnel RPCs that freeze the host thread outside
-    # Python's reach (utils/watchdog.py; cli/supervise.py relaunches).
-    wd = None
-    beat = lambda step: None  # noqa: E731
-    grace = lambda: None  # noqa: E731
-    if watchdog:
-        from eadgan_tpu.utils.watchdog import Watchdog
-
-        wd = Watchdog(watchdog).start()
-        beat = wd.beat
-        grace = wd.grace
-        clear_grace = wd.clear_grace
-    else:
-        clear_grace = lambda: None  # noqa: E731
-
-    # Fault injection for watchdog/supervisor drills: hang forever right
-    # after the given step completes, mimicking the observed wedged-RPC
-    # failure (host thread parked, device idle).  The fault is TRANSIENT
-    # like the real one: EADGAN_FAULT_HANG_MARKER names a file created
-    # when the hang fires, and a process that finds it pre-existing (the
-    # supervised restart) skips the fault.  Test/drill hook only.
-    hang_at = int(os.environ.get("EADGAN_FAULT_HANG_STEP", 0) or 0)
-    if hang_at:
-        marker = os.environ.get("EADGAN_FAULT_HANG_MARKER", "")
-        if marker and os.path.exists(marker):
-            hang_at = 0
-    if hang_at:
-        inner_beat = beat
-
-        def beat(step, _inner=inner_beat):  # noqa: F811
-            if step >= hang_at:
-                if marker:
-                    open(marker, "w").close()
-                print(f"fault injection: hanging at step {step}", flush=True)
-                while True:
-                    time.sleep(3600)
-            _inner(step)
-
-    if zero_opt and not (data_parallel and chain > 1 and step_body is not None):
-        raise ValueError(
-            "--zero_opt shards optimizer state over the data mesh axis: "
-            "it requires --data_parallel and the chained engine "
-            "(--chain > 1)"
-        )
-
-    try:
-        with trace(profile_dir or None):
-            if chain > 1 and step_body is not None:
-                return _run_epochs_chained(
-                    n_epochs=n_epochs, data=data, labels=labels,
-                    batch_size=batch_size, state=state, step_body=step_body,
-                    on_batch=on_batch, seed=seed, max_steps=max_steps,
-                    logger=logger, metric_keys=metric_keys, scale=scale,
-                    shift=shift, random_flip=random_flip,
-                    data_parallel=data_parallel, zero_opt=zero_opt,
-                    chain=chain,
-                    chain_periods=chain_periods, beat=beat, grace=grace,
-                    clear_grace=clear_grace,
-                )
-            return _run_epochs_inner(
-                n_epochs=n_epochs, data=data, labels=labels, batch_size=batch_size,
-                state=state, step_fn=step_fn, on_batch=on_batch, seed=seed,
-                max_steps=max_steps, logger=logger, metric_keys=metric_keys,
-                scale=scale, shift=shift, random_flip=random_flip,
-                data_parallel=data_parallel, beat=beat,
-            )
-    finally:
-        if wd is not None:
-            wd.stop()
-        if owned_logger is not None:
-            owned_logger.close()  # flush buffered JSONL records
-
-
-def _run_epochs_inner(
-    *, n_epochs, data, labels, batch_size, state, step_fn, on_batch,
-    seed, max_steps, logger, metric_keys, scale, shift, random_flip,
-    data_parallel, beat=lambda step: None,
-):
-    host_rng = np.random.default_rng(seed)
-    # Dedicated stream for per-batch flip draws: ``place`` runs in the
-    # prefetch thread, so it must not share ``host_rng`` with the
-    # epoch-permutation draws on the main thread.
-    flip_rng = np.random.default_rng([seed, 0x464C4950])
-    n_batches = data.shape[0] // batch_size
-    start_step = int(jax.device_get(state.step))
-    batches_done = start_step
-
-    device_put = jax.device_put
-    if data_parallel:
-        from eadgan_tpu.parallel import default_mesh, replicate, shard_batch
-
-        mesh = default_mesh()
-        state = replicate(mesh, state)
-        device_put = lambda b: shard_batch(mesh, b)  # noqa: E731
-
-    use_native = data.dtype == np.uint8 and labels is None
-    if random_flip and not use_native:
-        raise ValueError("random_flip requires the uint8 label-free ingest path")
-    if use_native:
-        from eadgan_tpu.data.native import gather_normalize, gather_normalize_flip
-
-        if random_flip:
-
-            def place(idx):
-                # re-drawn every batch fetch (reference torchvision
-                # RandomHorizontalFlip, celebA/EAD-GAN_celebA.py:199)
-                mask = flip_rng.random(len(idx)) < 0.5
-                return device_put(
-                    gather_normalize_flip(data, idx, mask, scale, shift)
-                )
-
-        else:
-
-            def place(idx):
-                return device_put(gather_normalize(data, idx, scale, shift))
-
-    for epoch in range(start_step // max(n_batches, 1), n_epochs):
-        if use_native:
-            perm = host_rng.permutation(data.shape[0])
-            end = data.shape[0] - (data.shape[0] % batch_size)
-            batches = (perm[s : s + batch_size] for s in range(0, end, batch_size))
-            iterator = Prefetcher(batches, place=place)
-        else:
-            iterator = Prefetcher(
-                epoch_batches(data, batch_size, host_rng, labels=labels),
-                place=device_put,
-            )
-        try:
-            for batch in iterator:
-                if not isinstance(batch, tuple):
-                    batch = (batch,)
-                state, metrics = step_fn(state, *batch)
-                if logger is not None:
-                    shown = (
-                        {k: metrics[k] for k in metric_keys} if metric_keys else metrics
-                    )
-                    logger.log(
-                        batches_done,
-                        shown,
-                        epoch=epoch,
-                        n_epochs=n_epochs,
-                        batch=batches_done % n_batches,
-                        n_batches=n_batches,
-                    )
-                on_batch(batches_done, state, metrics, batch)
-                batches_done += 1
-                beat(batches_done)
-                if max_steps and batches_done - start_step >= max_steps:
-                    return state
-        finally:
-            iterator.close()
-    return state
-
-
-def _run_epochs_chained(
-    *, n_epochs, data, labels, batch_size, state, step_body, on_batch,
-    seed, max_steps, logger, metric_keys, scale, shift, random_flip,
-    data_parallel, chain, chain_periods, zero_opt=False,
-    beat=lambda step: None,
-    grace=lambda: None, clear_grace=lambda: None,
-):
-    """In-graph multi-step engine: windows of up to ``chain`` steps run
-    as one ``lax.scan`` program (train/chain.py).
-
-    RNG-stream parity with ``_run_epochs_inner``: the epoch permutation
-    comes from the same ``host_rng`` draws, flip masks from the same
-    dedicated ``flip_rng`` stream drawn once per batch in batch order,
-    and the jitted body is the identical un-jitted step — so a chained
-    run produces the same training trajectory as the per-dispatch run.
-
-    uint8 data ships RAW (host gather only); normalize / channel axis /
-    flips move in-graph into the scan body — 4x less tunnel traffic and
-    one dispatch per window instead of per step.
-    """
-    from eadgan_tpu.train.chain import (
-        LazyHostBatch,
-        LazyLastMetrics,
-        make_chained_step,
-        normalize_prepare,
-        plan_windows,
-    )
-
-    from eadgan_tpu.parallel import is_coordinator
-
-    host_rng = np.random.default_rng(seed)
-    flip_rng = np.random.default_rng([seed, 0x464C4950])
-    n_batches = data.shape[0] // batch_size
-    start_step = int(jax.device_get(state.step))
-    stop = (start_step + max_steps) if max_steps else None
-    eager_events = is_coordinator()
-
-    device_put = jax.device_put
-    if data_parallel:
-        from eadgan_tpu.parallel import default_mesh, replicate, shard_window
-
-        mesh = default_mesh()
-        state = replicate(mesh, state)
-        device_put = lambda w: shard_window(mesh, w)  # noqa: E731
-        if zero_opt:
-            # ZeRO-1: Adam moments sharded over the data axis, params
-            # replicated; the output-state constraint pins that contract
-            # through every scanned window (parallel/zero.py).
-            from eadgan_tpu.parallel import (
-                constrain_like,
-                state_shardings,
-                zero_place,
-            )
-
-            state = zero_place(mesh, state)
-            step_body = constrain_like(step_body, state_shardings(state))
-
-    use_native = data.dtype == np.uint8 and labels is None
-    if random_flip and not use_native:
-        raise ValueError("random_flip requires the uint8 label-free ingest path")
-
-    # Device-resident dataset: uint8 archives that fit HBM (real dSprites
-    # 2.9 GB, CelebA 2.4 GB vs 16 GB on v5e) are staged on device ONCE
-    # and gathered in-graph — each window then ships only int32 indices
-    # (+ flip masks) through the tunnel instead of megabytes of pixels.
-    max_resident = int(os.environ.get("EADGAN_DEVICE_DATA_MAX", 4 << 30))
-    resident_arrays = None
-    if use_native and data.nbytes <= max_resident:
-        prepare = normalize_prepare(
-            scale, shift, flip=random_flip, add_channel=data.ndim == 3,
-            gather=True,
-        )
-        resident_arrays = (data,)
-    elif use_native:
-        prepare = normalize_prepare(
-            scale, shift, flip=random_flip, add_channel=data.ndim == 3,
-        )
-    elif data.nbytes <= max_resident:
-        # pre-normalized (e.g. MNIST f32) data, with or without labels:
-        # stage everything and gather in-graph too
-        from eadgan_tpu.train.chain import gather_prepare
-
-        prepare = gather_prepare()
-        resident_arrays = (data,) if labels is None else (data, labels)
-    else:
-        prepare = None
-    use_gather = resident_arrays is not None
-    # Packed metrics: every window returns ONE (K, M) f32 array instead
-    # of a dict of M arrays — one metric fetch RTT per window instead of
-    # M, and no eager [-1] slice dispatches (those would enqueue behind
-    # the NEXT window's scan and stall the host a full window per
-    # iteration; see train/chain.py docstrings).  "auto" packs ALL
-    # metrics the step emits, so on_batch sees the full dict exactly as
-    # in the per-dispatch engine; ``metric_keys`` only filters what the
-    # logger prints, matching _run_epochs_inner.
-    chained = make_chained_step(
-        step_body, prepare=prepare, donate=True, pack_keys="auto"
-    )
-    if use_gather:
-        if data_parallel:
-            from eadgan_tpu.parallel import replicate as _replicate
-
-            consts = tuple(_replicate(mesh, a) for a in resident_arrays)
-        else:
-            consts = tuple(jax.device_put(a) for a in resident_arrays)
-    else:
-        consts = ()
-
-    def host_batch(rows):
-        """Single-step-path-identical host materialization of one batch
-        for ``on_batch`` consumers (sample grids)."""
-        if not use_native:
-            b = data[rows].astype(np.float32) if data.dtype == np.uint8 else data[rows]
-            return (b, labels[rows]) if labels is not None else (b,)
-        from eadgan_tpu.data.native import gather_normalize, gather_normalize_flip
-
-        if random_flip:
-            return (gather_normalize_flip(data, rows[0], rows[1], scale, shift),)
-        return (gather_normalize(data, rows, scale, shift),)
-
-    # Event side effects (sample grids, checkpoint writes — ~5 s of
-    # state fetch + serialization for a CelebA checkpoint through the
-    # tunnel, measured in evidence/perf_r3) run on a background
-    # EventWorker with a device-side SNAPSHOT of the train state: the
-    # copy shares no buffers with the live state, so the next window's
-    # donation proceeds immediately and the event work overlaps device
-    # execution.  Under chaining, on_batch fires exactly at declared
-    # ``chain_periods`` boundaries (the per-dispatch engine calls it
-    # every step; every production callback self-gates on these same
-    # periods, so the observable side effects are identical).  Callers
-    # that declare NO periods keep the legacy inline per-window call.
-    # EADGAN_SYNC_EVENTS=1 forces inline execution (debugging).
-    worker = None
-    async_events = (
-        bool(chain_periods)
-        and os.environ.get("EADGAN_SYNC_EVENTS", "") != "1"
-    )
-    if async_events and eager_events:
-        from eadgan_tpu.train.chain import EventWorker
-
-        worker = EventWorker()
-    snapshot = jax.jit(lambda t: jax.tree_util.tree_map(jax.numpy.copy, t))
-
-    batches_done = start_step
-    epoch = start_step // max(n_batches, 1)
-    seen_sizes = set()  # window sizes this process has compiled
-    grace_end = None  # end step of an in-flight freshly-compiled window
-    try:
-        while epoch < n_epochs and (stop is None or batches_done < stop):
-            perm = host_rng.permutation(data.shape[0])
-            plan = list(
-                plan_windows(batches_done, n_batches, chain, chain_periods, stop)
-            )
-
-            def windows():
-                for s, k in plan:
-                    o = (s - plan[0][0]) * batch_size
-                    rows = perm[o : o + k * batch_size]
-                    win_shape = (k, batch_size) + data.shape[1:]
-                    last_rows = rows[-batch_size:]
-                    if use_gather:
-                        # indices only; pixels (and labels) gathered in-graph
-                        # from the device-resident arrays
-                        win = np.ascontiguousarray(
-                            rows.reshape(k, batch_size), np.int32
-                        )
-                    elif use_native:
-                        win = np.ascontiguousarray(data[rows]).reshape(win_shape)
-                    if use_native:
-                        if random_flip:
-                            # one draw per batch, batch order — identical
-                            # flip_rng stream to the per-dispatch engine
-                            masks = np.stack(
-                                [flip_rng.random(batch_size) < 0.5 for _ in range(k)]
-                            )
-                            yield (s, k, last_rows, masks[-1]), (win, masks)
-                        else:
-                            yield (s, k, last_rows, None), (win,)
-                    elif use_gather:
-                        yield (s, k, last_rows, None), (win,)
-                    else:
-                        img = data[rows].reshape(win_shape)
-                        if labels is not None:
-                            lab = labels[rows].reshape(k, batch_size)
-                            yield (s, k, last_rows, None), (img, lab)
-                        else:
-                            yield (s, k, last_rows, None), (img,)
-
-            iterator = Prefetcher(
-                windows(), place=lambda item: (item[0], device_put(item[1]))
-            )
-            pending = None  # previous window's (start, k, stacked device metrics)
-
-            def drain():
-                nonlocal pending, grace_end
-                if pending is None:
-                    return
-                ps, pk, stacked = pending
-                pending = None
-                if logger is not None:
-                    keys = tuple(chained.resolved_pack_keys)
-                    rows = np.asarray(stacked)  # ONE (K, M) fetch
-                    arrs = {m: rows[:, j] for j, m in enumerate(keys)}
-                    shown = tuple(metric_keys) if metric_keys else keys
-                    for i in range(pk):
-                        logger.log(
-                            ps + i, {m: arrs[m][i] for m in shown},
-                            epoch=epoch, n_epochs=n_epochs,
-                            batch=(ps + i) % n_batches, n_batches=n_batches,
-                        )
-                # With no logger (non-coordinator process) the blocking
-                # fetch above is skipped — clear anyway: detection of a
-                # real stall during an active grace is merely delayed to
-                # the grace's own expiry, once per fresh window size.
-                if grace_end is not None and ps + pk >= grace_end:
-                    # the freshly-compiled window's metrics came back:
-                    # its compile completed, steady timeout governs again
-                    grace_end = None
-                    clear_grace()
-
-            # EADGAN_CHAIN_TRACE=<path>: append one JSONL record per window
-            # with host-side phase timings (iter = prefetch wait + host gather,
-            # disp = chained() dispatch call, drain = previous window's packed
-            # metric fetch incl. any block on device completion, cb = logging +
-            # on_batch side effects).  Zero-cost when unset; the perf account
-            # in evidence/perf_r3 is built from these records.
-            trace = None
-            trace_path = os.environ.get("EADGAN_CHAIN_TRACE", "")
-            if trace_path:
-                import json as _json
-                import time as _time
-
-                trace = open(trace_path, "a")
-            try:
-                t_prev = None
-                for (s, k, last_rows, last_mask), win_arrays in iterator:
-                    if k not in seen_sizes:
-                        # Fresh window size = fresh XLA program: give the
-                        # watchdog a compile allowance.  Dispatch is async
-                        # through the tunnel, so the compile's host-visible
-                        # block lands at the NEXT drain — the grace is
-                        # released only when THIS window's metrics have
-                        # been fetched (drain clears it at >= grace_end).
-                        seen_sizes.add(k)
-                        grace()
-                        grace_end = s + k
-                    if trace is not None:
-                        t0 = _time.perf_counter()
-                    state, stacked = chained(state, consts, *win_arrays)
-                    if trace is not None:
-                        t1 = _time.perf_counter()
-                    # Convert the PREVIOUS window's metrics after dispatching
-                    # this one — that device_get never stalls the pipeline.
-                    drain()
-                    if trace is not None:
-                        t2 = _time.perf_counter()
-                    pending = (s, k, stacked)
-                    batches_done = s + k
-                    # heartbeat after the previous window's metrics were
-                    # fetched (drain above): proven device-side progress
-                    beat(batches_done)
-                    is_event = any(
-                        (s + k - 1) % p == 0 for p in chain_periods if p
-                    )
-                    if is_event or not chain_periods:
-                        # full emitted-metric dict view (resolved at the first
-                        # trace above); no device work unless a callback reads it
-                        last_metrics = LazyLastMetrics(
-                            tuple(chained.resolved_pack_keys), stacked
-                        )
-                        if use_native and random_flip:
-                            fetch = lambda lr=last_rows, lm=last_mask: host_batch((lr, lm))[0]  # noqa: E731
-                        else:
-                            fetch = lambda lr=last_rows: host_batch(lr)[0]  # noqa: E731
-                        # Event windows materialize the host batch eagerly
-                        # (sample callbacks may pass it whole into jitted
-                        # functions); legacy no-period windows stay lazy.
-                        # Non-coordinator processes had on_batch no-opped by
-                        # run_epochs, so they never fetch.
-                        if eager_events and is_event:
-                            first = fetch()
-                        else:
-                            first = LazyHostBatch(fetch)
-                        batch_for_cb = (first,) if labels is None else (
-                            first, labels[last_rows]
-                        )
-                        if worker is not None and is_event:
-                            import functools
-
-                            worker.submit(functools.partial(
-                                on_batch, s + k - 1, snapshot(state),
-                                last_metrics, batch_for_cb,
-                            ))
-                        else:
-                            on_batch(s + k - 1, state, last_metrics, batch_for_cb)
-                    if trace is not None:
-                        t3 = _time.perf_counter()
-                        trace.write(_json.dumps({
-                            "s": s, "k": k,
-                            "iter": round(t0 - (t_prev if t_prev else t0), 6),
-                            "disp": round(t1 - t0, 6),
-                            "drain": round(t2 - t1, 6),
-                            "cb": round(t3 - t2, 6),
-                        }) + "\n")
-                        t_prev = t3
-                drain()
-            finally:
-                iterator.close()
-                if trace is not None:
-                    trace.close()
-            epoch += 1
-    finally:
-        if worker is not None:
-            # all queued event side effects (checkpoint writes!) must
-            # complete — and any failure surface — before returning
-            worker.close()
-    return state
-
-
-def jit_generator_apply(model, get_vars: Callable):
-    """Jitted generator forward for sampling; ``get_vars()`` returns the
-    current ModelVars so samples always reflect the latest params."""
-
-    @jax.jit
-    def fwd(variables, *inputs):
-        out, _ = model.apply(variables, *inputs, mutable=["batch_stats"])
-        return out
-
-    def apply(*inputs):
-        mv = get_vars()
-        return np.asarray(fwd(mv.as_variables(), *[np.asarray(x) for x in inputs]))
-
-    return apply

@@ -20,11 +20,12 @@ The reference has no counterpart: a crash mid-schedule loses the run
 entirely (SURVEY.md section 5 — checkpoints are save-only, nothing ever
 resumes them).
 
-Note: argparse "last flag wins", so the appended ``--resume auto``
-overrides any ``--resume`` the original command carried — correct for
-crash recovery, since by restart time the newest on-disk checkpoint is
+Note: on restart any ``--resume`` the command carried is REPLACED by a
+single ``--resume auto`` (``with_resume_auto``) — correct for crash
+recovery, since by restart time the newest on-disk checkpoint is
 strictly later than whatever the run originally resumed from (and when
-no checkpoint exists yet, ``auto`` starts fresh).
+no checkpoint exists yet, ``auto`` starts fresh); stripping first keeps
+the command line from growing across restarts.
 
 Note on ``--max_steps``: the trainers count it INCREMENTALLY from the
 restored step, so a restarted ``--max_steps N`` run trains N further
@@ -40,6 +41,23 @@ import subprocess
 import sys
 
 from eadgan_tpu.utils.watchdog import STALL_EXIT_CODE
+
+
+def with_resume_auto(args):
+    """Return ``args`` with exactly one trailing ``--resume auto`` —
+    any existing ``--resume X`` / ``--resume=X`` is stripped first so
+    repeated restarts don't grow the command line unboundedly."""
+    out, i = [], 0
+    while i < len(args):
+        if args[i] == "--resume":
+            i += 2  # skip the flag and its value
+            continue
+        if args[i].startswith("--resume="):
+            i += 1
+            continue
+        out.append(args[i])
+        i += 1
+    return out + ["--resume", "auto"]
 
 
 def main(argv=None) -> None:
@@ -85,7 +103,7 @@ def main(argv=None) -> None:
                 f"restart {restarts}/{opt.max_restarts} with --resume auto",
                 flush=True,
             )
-            child_args = child_args + ["--resume", "auto"]
+            child_args = with_resume_auto(child_args)
             continue
         print(f"supervise: giving up after exit {rc} ({restarts} restart(s) used)")
         sys.exit(rc)

@@ -10,6 +10,7 @@ fuse end to end — including the affine matrix algebra the reference
 rebuilds on the host every iteration.
 """
 
+from eadgan_tpu.train.engine import jit_generator_apply, run_epochs
 from eadgan_tpu.train.state import EncoderTrainState, GanTrainState, ModelVars, adam
 from eadgan_tpu.train.config import (
     ApproximatorConfig,
@@ -20,6 +21,8 @@ from eadgan_tpu.train.config import (
 )
 
 __all__ = [
+    "run_epochs",
+    "jit_generator_apply",
     "ModelVars",
     "EncoderTrainState",
     "GanTrainState",

@@ -13,22 +13,109 @@ Two artifact kinds:
   entire pytree — params, all three Adam states, spectral-norm vectors,
   BatchNorm running stats, PRNG key, step — so training resumes
   bit-exactly mid-run.
+
+Crash safety: writes are atomic (temp file + fsync + ``os.replace`` in
+the same directory), because the stall watchdog hard-exits the process
+at an arbitrary instant (``utils/watchdog.py``, ``os._exit(87)``) while
+checkpoint serialization runs for seconds on the background EventWorker
+— a kill landing mid-write must never leave a truncated file at the
+final path that ``--resume auto`` would then select.  Restore is
+belt-and-braces on top: :func:`restore_latest` falls back to the newest
+*loadable* checkpoint when the newest file fails to deserialize
+(pre-fix truncations, filesystem damage), so a supervised restart loop
+(``cli/supervise.py``) can never wedge on a corrupt recovery point.
+The reference's save path has neither property and no loader at all
+(celebA/EAD-GAN_celebA.py:414-423 — plain ``torch.save``, save-only).
 """
 
 from __future__ import annotations
 
 import os
-from typing import Any
+import re
+import sys
+from typing import Any, List, Tuple
 
 from flax import serialization
 
-__all__ = ["save_pytree", "restore_pytree", "save_model", "restore_model", "latest_step"]
+__all__ = [
+    "save_pytree",
+    "restore_pytree",
+    "save_model",
+    "restore_model",
+    "latest_step",
+    "saved_steps",
+    "restore_latest",
+]
+
+
+def _maybe_fault_kill_mid_write(path: str, data: bytes) -> None:
+    """Fault-injection hook for the crash-recovery drill (alongside
+    ``EADGAN_FAULT_HANG_STEP`` in the epoch engine): when
+    ``EADGAN_FAULT_KILL_SAVE_STEP=N`` is set and a train-state file
+    ``<stem>_M.ckpt`` with ``M >= N`` is being saved, write a *truncated*
+    byte stream directly to the final path — reproducing what the legacy
+    non-atomic writer left behind when the watchdog's ``os._exit(87)``
+    landed mid-write — then hard-exit with the watchdog's stall code so
+    ``cli.supervise`` relaunches.  The fault is one-shot like the hang
+    fault: ``EADGAN_FAULT_KILL_SAVE_MARKER`` names a file created when it
+    fires; a restart that finds it pre-existing skips the fault.
+    Drill/test hook only; zero cost when the env var is unset.
+    """
+    step_env = os.environ.get("EADGAN_FAULT_KILL_SAVE_STEP", "")
+    if not step_env:
+        return
+    m = re.search(r"_(\d+)\.ckpt$", path)
+    if not m or int(m.group(1)) < int(step_env):
+        return
+    marker = os.environ.get("EADGAN_FAULT_KILL_SAVE_MARKER", "")
+    if marker and os.path.exists(marker):
+        return
+    if marker:
+        open(marker, "w").close()
+    with open(path, "wb") as f:
+        f.write(data[: max(1, len(data) // 2)])
+        f.flush()
+        os.fsync(f.fileno())
+    print(
+        f"fault injection: truncated mid-write of {path}, exiting 87",
+        flush=True,
+    )
+    os._exit(87)  # == utils.watchdog.STALL_EXIT_CODE
 
 
 def save_pytree(path: str, tree: Any) -> None:
-    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    with open(path, "wb") as f:
-        f.write(serialization.to_bytes(tree))
+    """Atomically serialize ``tree`` to ``path``.
+
+    The bytes land in a same-directory temp file first, are fsynced, and
+    only then renamed over the final path — readers (and ``--resume
+    auto``) either see the previous complete file or the new complete
+    file, never a truncation, no matter when the process dies.
+    """
+    directory = os.path.dirname(path) or "."
+    os.makedirs(directory, exist_ok=True)
+    data = serialization.to_bytes(tree)
+    _maybe_fault_kill_mid_write(path, data)
+    tmp = f"{path}.tmp.{os.getpid()}"
+    try:
+        with open(tmp, "wb") as f:
+            f.write(data)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, path)
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+    # fsync the directory so the rename itself survives power loss; not
+    # load-bearing for the watchdog-kill case (the kernel survives), so
+    # failures (e.g. filesystems without dir fds) are non-fatal.
+    try:
+        dfd = os.open(directory, os.O_RDONLY)
+        try:
+            os.fsync(dfd)
+        finally:
+            os.close(dfd)
+    except OSError:
+        pass
 
 
 def restore_pytree(path: str, template: Any) -> Any:
@@ -49,14 +136,44 @@ def restore_model(path: str, model_vars):
     return model_vars.replace(params=restored["params"], stats=restored["stats"])
 
 
+def saved_steps(directory: str, prefix: str, suffix: str = ".ckpt") -> List[int]:
+    """All saved steps for ``prefix_%d%suffix`` files, newest first."""
+    steps = []
+    if os.path.isdir(directory):
+        for name in os.listdir(directory):
+            if name.startswith(prefix + "_") and name.endswith(suffix):
+                middle = name[len(prefix) + 1 : -len(suffix)]
+                if middle.isdigit():
+                    steps.append(int(middle))
+    return sorted(steps, reverse=True)
+
+
 def latest_step(directory: str, prefix: str, suffix: str = ".ckpt") -> int:
     """Find the newest saved step for ``prefix_%d%suffix`` files; -1 if none."""
-    best = -1
-    if not os.path.isdir(directory):
-        return best
-    for name in os.listdir(directory):
-        if name.startswith(prefix + "_") and name.endswith(suffix):
-            middle = name[len(prefix) + 1 : -len(suffix)]
-            if middle.isdigit():
-                best = max(best, int(middle))
-    return best
+    steps = saved_steps(directory, prefix, suffix)
+    return steps[0] if steps else -1
+
+
+def restore_latest(
+    directory: str, prefix: str, template: Any, suffix: str = ".ckpt"
+) -> Tuple[Any, int]:
+    """Restore the newest *loadable* ``prefix_%d%suffix`` checkpoint.
+
+    Files that fail to deserialize — e.g. truncated by a crash that
+    predates the atomic writer, or damaged on disk — are skipped with a
+    warning and the next-newest is tried, so a supervised restart never
+    crash-loops on a corrupt newest file.  Returns ``(state, step)``;
+    ``(template, -1)`` when no loadable checkpoint exists.
+    """
+    for step in saved_steps(directory, prefix, suffix):
+        path = os.path.join(directory, f"{prefix}_{step}{suffix}")
+        try:
+            return restore_pytree(path, template), step
+        except Exception as exc:  # noqa: BLE001 — any deserialization failure
+            print(
+                f"warning: checkpoint {path} failed to load ({exc!r}); "
+                "falling back to the previous checkpoint",
+                file=sys.stderr,
+                flush=True,
+            )
+    return template, -1
