@@ -13,6 +13,7 @@ contracts that path must keep:
 """
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -27,6 +28,7 @@ def _stats_dtypes(tree):
     return {np.dtype(jnp.asarray(leaf).dtype) for leaf in jax.tree_util.tree_leaves(tree)}
 
 
+@pytest.mark.slow
 def test_celeba_generator_bf16_matches_f32(rng):
     z = rng.normal(0, 1, (4, 200)).astype(np.float32)
     labels = jax.nn.one_hot(jnp.arange(4) % 10, 10)
@@ -63,6 +65,7 @@ def test_celeba_generator_bf16_matches_f32(rng):
     np.testing.assert_allclose(m16, m32, atol=0.05)
 
 
+@pytest.mark.slow
 def test_celeba_discriminator_bf16_sn_stats_f32(rng):
     img = rng.uniform(-1, 1, (4, 64, 64, 3)).astype(np.float32)
     d32 = CelebaDiscriminator()
@@ -79,6 +82,7 @@ def test_celeba_discriminator_bf16_sn_stats_f32(rng):
         np.testing.assert_allclose(arr, np.asarray(b), atol=tol)
 
 
+@pytest.mark.slow
 def test_mnist_generator_bf16_finite(rng):
     z = rng.normal(0, 1, (4, 62)).astype(np.float32)
     labels = jax.nn.one_hot(jnp.arange(4) % 10, 10)

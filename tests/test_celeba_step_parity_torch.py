@@ -45,6 +45,12 @@ from tests.test_torch_import import TorchCelebaD, TorchCelebaG  # noqa: E402
 B = 4
 
 
+# compile-heavy (full GAN-step XLA compiles on CPU): excluded from the
+# fast tier — run `pytest -m "not slow"` for a quick signal, the full
+# suite remains the merge bar (CLAUDE.md).
+pytestmark = pytest.mark.slow
+
+
 def _rpqxy_matrix(code):
     theta = code[:, 0] * math.pi / 9
     p = code[:, 1] * 0.2 + 1

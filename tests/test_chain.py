@@ -27,6 +27,12 @@ from eadgan_tpu.train.pretrain import init_pxy_state, make_pxy_step
 # ---------------------------------------------------------------- planner
 
 
+# compile-heavy (full GAN-step XLA compiles on CPU): excluded from the
+# fast tier — run `pytest -m "not slow"` for a quick signal, the full
+# suite remains the merge bar (CLAUDE.md).
+pytestmark = pytest.mark.slow
+
+
 def test_plan_windows_covers_range_and_respects_chain():
     plan = list(plan_windows(0, 100, 16, periods=()))
     assert sum(k for _, k in plan) == 100

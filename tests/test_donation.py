@@ -25,6 +25,12 @@ from eadgan_tpu.train.gan_dsprites import (
 )
 
 
+# compile-heavy (full GAN-step XLA compiles on CPU): excluded from the
+# fast tier — run `pytest -m "not slow"` for a quick signal, the full
+# suite remains the merge bar (CLAUDE.md).
+pytestmark = pytest.mark.slow
+
+
 def _setup(donate):
     config = SpritesGanConfig(batch_size=8)
     g, d, e, pxy = (

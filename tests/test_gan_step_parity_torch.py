@@ -51,6 +51,12 @@ B = 8
 STEPS = 3
 
 
+# compile-heavy (full GAN-step XLA compiles on CPU): excluded from the
+# fast tier — run `pytest -m "not slow"` for a quick signal, the full
+# suite remains the merge bar (CLAUDE.md).
+pytestmark = pytest.mark.slow
+
+
 def _rp_matrix(code):
     theta = code[:, 0] * math.pi / 9
     p = code[:, 1] * 0.2 + 1

@@ -44,6 +44,12 @@ from tests.test_torch_import import (  # noqa: E402
 )
 
 
+# compile-heavy (full GAN-step XLA compiles on CPU): excluded from the
+# fast tier — run `pytest -m "not slow"` for a quick signal, the full
+# suite remains the merge bar (CLAUDE.md).
+pytestmark = pytest.mark.slow
+
+
 class TorchMnistD(torch.nn.Module):
     def __init__(self):
         super().__init__()

@@ -79,6 +79,7 @@ def test_kernel_quant_round_trip():
     assert int(jnp.min(jnp.max(jnp.abs(q), axis=(0, 1, 2)))) == 127
 
 
+@pytest.mark.slow
 def test_int8_psnr_vs_f32(gen_and_vars, latents):
     """int8 mid layers must track the f32 eval forward closely on the
     tanh output scale ([-1, 1])."""

@@ -46,6 +46,7 @@ def test_resume_bit_exact(tmp_path, rng):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.slow
 def test_orbax_checkpointer_roundtrip(tmp_path, rng):
     """Orbax-managed async train-state checkpointing: save N steps,
     restore the latest, continue — matches the uninterrupted run."""

@@ -387,6 +387,7 @@ class TorchCelebaD(tnn.Module):
         )
 
 
+@pytest.mark.slow
 def test_celeba_discriminator_import(rng):
     t = TorchCelebaD()
     x = torch.rand(2, 3, 64, 64) * 2 - 1
@@ -403,6 +404,7 @@ def test_celeba_discriminator_import(rng):
     _close(validity, t_v)
 
 
+@pytest.mark.slow
 def test_celeba_discriminator_import_at_sn_equilibrium(rng):
     """The conv-SN analogue of the sprites-encoder equilibrium test:
     all four SN Conv2d kernels flattened to the 1 +- 0.2% regime (see
@@ -467,6 +469,7 @@ def test_sn_u0_unit_sigma_fuzz():
             assert abs(sigma - target) < 5e-5, (shape, scale, sigma, target)
 
 
+@pytest.mark.slow
 def test_import_cli_end_to_end(tmp_path, rng):
     """Drive the import CLI: plain kind, --colored kind, the celeba tar
     split, and the mismatched-kind error path."""
