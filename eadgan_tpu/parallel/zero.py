@@ -14,7 +14,11 @@ written elementwise.
 ZeRO-1 placement (Rajbhandari et al., 2019, adapted to the XLA SPMD
 model): each Adam moment leaf is sharded over the ``data`` mesh axis on
 its largest divisible dimension, while params, model stats, and the RNG
-stay replicated.  No step code changes: gradients are already reduced
+stay replicated.  On a 2D (data, model) mesh the placement COMPOSES
+with tensor parallelism: moment leaves that already carry a ``model``
+shard (``shard_model_params`` applied to the optimizer state) keep it,
+and ``data`` lands on a different dimension — 1/(data*model) of the
+moments per device (tests/test_parallel.py::test_zero_opt_2d_mesh).  No step code changes: gradients are already reduced
 across ``data`` by the SPMD partitioner (psum), each device then updates
 only its 1/N slice of the moments, and the partitioner inserts the
 all-gather that rebuilds replicated params from the sharded updates —
@@ -50,33 +54,59 @@ __all__ = [
 ]
 
 
-def zero_spec(shape, n_shards: int, min_elems: int = 1024) -> P:
-    """PartitionSpec sharding the largest dimension divisible by
-    ``n_shards`` over ``data``; replicated when no dimension divides or
-    the leaf is small (bias vectors, scalars — sharding those buys
-    nothing and costs a collective)."""
+def zero_spec(shape, n_shards: int, min_elems: int = 1024, base: P = P()) -> P:
+    """PartitionSpec adding a ``data``-axis shard to ``base``.
+
+    The largest dimension that is divisible by ``n_shards`` and not
+    already claimed by ``base`` gets ``data``; ``base``'s own axes (a
+    ``model`` shard from ``shard_model_params``, for a 2D mesh) are
+    preserved — that is the ZeRO x tensor-parallel composition: moments
+    sharded over BOTH axes, 1/(data*model) per device.  Returns ``base``
+    unchanged when the leaf is small (bias vectors, scalars — sharding
+    those buys nothing and costs a collective) or no free dimension
+    divides."""
+    base_t = tuple(base)
+    base_t = base_t + (None,) * (len(shape) - len(base_t))
+    base_p = P(*base_t) if any(a is not None for a in base_t) else P()
     size = 1
     for d in shape:
         size *= d
     if not shape or size < min_elems:
-        return P()
-    candidates = [i for i in range(len(shape)) if shape[i] % n_shards == 0]
+        return base_p
+    used = {i for i, a in enumerate(base_t) if a is not None}
+    candidates = [
+        i for i in range(len(shape))
+        if i not in used and shape[i] % n_shards == 0
+    ]
     if not candidates:
-        return P()
+        return base_p
     i = max(candidates, key=lambda i: shape[i])
-    spec = [None] * len(shape)
+    spec = list(base_t)
     spec[i] = "data"
     return P(*spec)
 
 
+def _existing_spec(x) -> P:
+    """The PartitionSpec a leaf is already placed with (e.g. a ``model``
+    shard from ``shard_model_params``); empty for unplaced/replicated."""
+    sharding = getattr(x, "sharding", None)
+    if isinstance(sharding, NamedSharding):
+        return sharding.spec
+    return P()
+
+
 def shard_opt_over_data(mesh: Mesh, opt_state, min_elems: int = 1024):
     """Place an optax optimizer state with every large leaf sharded over
-    the ``data`` axis (ZeRO-1).  Scalars (Adam's ``count``) and small
-    leaves stay replicated."""
+    the ``data`` axis (ZeRO-1), COMPOSED with any sharding the leaves
+    already carry (a ``model``-axis shard on a 2D mesh stays; ``data``
+    lands on a different dimension).  Scalars (Adam's ``count``) and
+    small leaves keep their existing placement."""
     n = mesh.shape["data"]
 
     def place(x):
-        spec = zero_spec(getattr(x, "shape", ()), n, min_elems)
+        spec = zero_spec(
+            getattr(x, "shape", ()), n, min_elems, base=_existing_spec(x)
+        )
         return jax.device_put(x, NamedSharding(mesh, spec))
 
     return jax.tree.map(place, opt_state)
