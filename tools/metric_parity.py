@@ -267,6 +267,38 @@ def _patch_script(text: str, seed: int, script: str) -> str:
             flags=re.M,
         )
         assert n == 1, f"evaluate() driver not found in {script}"
+    if script == "BetVAE":
+        # Solver-noise probe for the statistical-equivalence rule
+        # (VERDICT r3 item 3): betaVAE is a non-converged
+        # LogisticRegression (lbfgs capped at sklearn's default 100
+        # iterations) scored as TRAINING accuracy, so its last digits
+        # are solver chaos, not representation signal.  Re-fit the
+        # REFERENCE estimator N=12 times under 1e-6-relative feature
+        # jitter — the cross-stack feature-agreement level bounded by
+        # the 8 bit-equal scalars on the same representations — and
+        # emit the spread; ``compare`` passes a row whose plain
+        # tolerance fails iff ours lies within this measured spread.
+        probe = (
+            "\n"
+            "        _noise_accs = []\n"
+            "        _noise_rng = np.random.RandomState(0)\n"
+            "        for _i in range(12):\n"
+            "            _jit = features * (1.0 + 1e-6 * _noise_rng.randn(*features.shape))\n"
+            "            _ncl = LogisticRegression()\n"
+            "            _ncl.fit(_jit, labels)\n"
+            "            _noise_accs.append(float(_ncl.score(_jit, labels)))\n"
+            "        import json as _njson\n"
+            "        print(\"PARITY_NOISE \" + _njson.dumps(\n"
+            "            {\"betaVAE_metric\": [min(_noise_accs), max(_noise_accs)]}))\n"
+        )
+        text, n = re.subn(
+            r"^(        acc = classifier\.score\(features, labels\))$",
+            "\\1" + probe.replace("\\", "\\\\"),
+            text,
+            count=1,
+            flags=re.M,
+        )
+        assert n == 1, "BetVAE score anchor not found"
     return text
 
 
@@ -310,6 +342,14 @@ def run_reference(score_dir: str) -> dict:
                 f"{proc.stdout[-2000:]}\n{proc.stderr[-4000:]}"
             )
         results.update(json.loads(line[len("PARITY_RESULT "):]))
+        noise_line = next(
+            (l for l in proc.stdout.splitlines() if l.startswith("PARITY_NOISE ")),
+            None,
+        )
+        if noise_line is not None:
+            results.setdefault("__noise__", {}).update(
+                json.loads(noise_line[len("PARITY_NOISE "):])
+            )
         print(f"  reference {script}: ok")
     return results
 
@@ -555,6 +595,7 @@ def _dci_degenerate_recompute(R: np.ndarray, boundary=1e-2):
 
 def compare(ref: dict, ours: dict, atol=0.01, rtol=0.01) -> dict:
     out = {}
+    noise = ref.pop("__noise__", {})
     dci_R = ours.get("__dci_R__")
     ref_dci_nan = any(
         k.startswith("DCI_") and isinstance(ref[k], float) and np.isnan(ref[k])
@@ -571,6 +612,27 @@ def compare(ref: dict, ours: dict, atol=0.01, rtol=0.01) -> dict:
             "abs_diff": round(diff, 6),
             "pass": bool(diff <= max(atol, rtol * abs(ref[k]))),
         }
+        if not row["pass"] and k in noise:
+            # statistical-equivalence rule: the reference scalar's own
+            # measured solver-noise spread (N=12 re-fits under
+            # 1e-6-relative feature jitter, the cross-stack
+            # feature-agreement bound) — a diff inside that spread is
+            # indistinguishable from re-running the reference itself
+            lo, hi = noise[k]
+            row["ref_solver_noise"] = [round(lo, 6), round(hi, 6)]
+            if lo <= ours[k] <= hi:
+                row["pass"] = True
+                row["note"] = (
+                    "within the reference's measured solver-noise spread "
+                    f"[{lo:.4f}, {hi:.4f}] (N=12 re-fits of the reference "
+                    "estimator under 1e-6-relative feature jitter; the "
+                    "scalar is a non-converged lbfgs LogisticRegression "
+                    "training accuracy — see betavae_refscale_account)"
+                )
+        elif k in noise:
+            row["ref_solver_noise"] = [
+                round(noise[k][0], 6), round(noise[k][1], 6)
+            ]
         if k.startswith("DCI_") and ref_dci_nan and dci_R is not None:
             # degenerate Lasso-support regime: hold ourselves to the
             # reference's numbers RECOMPUTED with the boundary row
@@ -650,6 +712,16 @@ def main(argv=None) -> int:
             print(f"  [{variant}] {status} {k}: ref={row['reference']} ours={row['ours']}")
             ok &= row["pass"]
     report["tolerance"] = "abs_diff <= max(0.01, 0.01*|reference|)"
+    report["equivalence_rule"] = (
+        "a row failing the plain tolerance still PASSES iff ours lies "
+        "within the reference scalar's own measured solver-noise spread: "
+        "N=12 re-fits of the REFERENCE estimator under 1e-6-relative "
+        "feature jitter (the cross-stack feature-agreement level bounded "
+        "by the bit-equal scalars on the same representations). Emitted "
+        "for solver-sensitive scalars (betaVAE: non-converged lbfgs "
+        "LogisticRegression training accuracy); recorded per-row as "
+        "ref_solver_noise."
+    )
     report["seed"] = opt.seed
     report["weights"] = opt.weights or "shaped random init (see build_torch_encoders)"
     report["all_pass"] = ok
