@@ -1,13 +1,14 @@
 """Supervised trainer launcher: automatic stall recovery for long runs.
 
     python -m eadgan_tpu.cli.supervise [--max_restarts N] [--restart_on_error] \
-        <trainer> [trainer args...]
+        [--ranks N] <trainer> [trainer args...]
 
 ``<trainer>`` is a trainer CLI name (``celeba``, ``rp``, ``mnist``,
 ``pxy``, ``rp_color``, ...; a dotted name is used as a module path
-verbatim).  The child runs as a subprocess; when it exits with the
-watchdog's ``STALL_EXIT_CODE`` (see ``eadgan_tpu/utils/watchdog.py`` —
-pass ``--watchdog SECONDS`` to the trainer to arm it), the supervisor
+verbatim, and a path ending in ``.py`` is run as a script).  The child
+runs as a subprocess; when it exits with the watchdog's
+``STALL_EXIT_CODE`` (see ``eadgan_tpu/utils/watchdog.py`` — pass
+``--watchdog SECONDS`` to the trainer to arm it), the supervisor
 relaunches it with ``--resume auto`` appended, restoring the newest
 checkpoint.  This automates the recovery that the 600k-step CelebA soak
 needed by hand when a tunnel RPC hung mid-run
@@ -15,6 +16,21 @@ needed by hand when a tunnel RPC hung mid-run
 
 ``--restart_on_error`` widens the restart condition to any nonzero exit
 (e.g. an OOM or a killed tunnel), still bounded by ``--max_restarts``.
+
+Multi-process runs (``--ranks N``): the supervisor owns the WHOLE gang.
+It launches N replicas of the command, each with the rank environment
+``eadgan_tpu.parallel.initialize`` reads (``EADGAN_MP_PROCESS_ID``,
+``EADGAN_MP_NUM_PROCESSES``, ``EADGAN_MP_COORDINATOR`` — a fresh
+localhost coordinator port per life, since a Gloo coordinator cannot be
+rejoined after a member dies).  Ranks in a distributed run fail
+COLLECTIVELY: one wedged rank parks every peer inside a Gloo/ICI
+collective forever, so the first rank to exit nonzero (its own watchdog
+firing 87, or a collective timeout) condemns the whole gang — the
+supervisor kills the survivors (SIGTERM, then SIGKILL after 10 s; a
+rank parked in foreign code ignores nothing at SIGKILL) and relaunches
+ALL ranks with ``--resume auto``.  Drilled end-to-end with an injected
+single-rank hang under ``tools/multiprocess_drive.py --gang_drill``
+(evidence/drill_r4_gang/).
 
 The reference has no counterpart: a crash mid-schedule loses the run
 entirely (SURVEY.md section 5 — checkpoints are save-only, nothing ever
@@ -37,8 +53,11 @@ resume to the exact original endpoint.
 from __future__ import annotations
 
 import argparse
+import os
+import socket
 import subprocess
 import sys
+import time
 
 from eadgan_tpu.utils.watchdog import STALL_EXIT_CODE
 
@@ -60,6 +79,79 @@ def with_resume_auto(args):
     return out + ["--resume", "auto"]
 
 
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+def _launch_gang(cmd, ranks):
+    """Start ``ranks`` replicas of ``cmd`` as one distributed gang.
+
+    ``ranks == 1`` inherits the parent environment untouched (the
+    original single-process contract).  Multi-rank lives get a FRESH
+    coordinator port each time: the previous life's coordinator died
+    with its rank-0 process, and Gloo/coordination-service state cannot
+    be rejoined.
+    """
+    if ranks == 1:
+        return [subprocess.Popen(cmd)]
+    port = _free_port()
+    procs = []
+    for i in range(ranks):
+        env = dict(
+            os.environ,
+            EADGAN_MP_PROCESS_ID=str(i),
+            EADGAN_MP_NUM_PROCESSES=str(ranks),
+            EADGAN_MP_COORDINATOR=f"localhost:{port}",
+        )
+        procs.append(subprocess.Popen(cmd, env=env))
+    return procs
+
+
+def _kill_gang(procs) -> None:
+    """Terminate every still-running rank: SIGTERM, 10 s, then SIGKILL.
+
+    A wedged rank's main thread is parked in foreign code (the exact
+    failure the watchdog exists for) — SIGTERM's default disposition
+    still ends the process, and SIGKILL is unconditional."""
+    for p in procs:
+        if p.poll() is None:
+            p.terminate()
+    deadline = time.monotonic() + 10.0
+    for p in procs:
+        if p.poll() is not None:
+            continue
+        try:
+            p.wait(timeout=max(0.0, deadline - time.monotonic()))
+        except subprocess.TimeoutExpired:
+            p.kill()
+            p.wait()
+
+
+def _reap_gang(procs) -> int:
+    """Wait until every rank exits 0, or any rank exits nonzero.
+
+    A rank finishing early with 0 while peers still run is normal (it
+    had less tail work); the gang is only condemned by a nonzero exit —
+    then the survivors are killed (they are parked in a collective that
+    can never complete) and that first nonzero code is returned.
+    """
+    live = list(procs)
+    while live:
+        for p in list(live):
+            rc = p.poll()
+            if rc is None:
+                continue
+            live.remove(p)
+            if rc != 0:
+                _kill_gang(live)
+                return rc
+        if live:
+            time.sleep(0.25)
+    return 0
+
+
 def main(argv=None) -> None:
     parser = argparse.ArgumentParser(
         description=__doc__, formatter_class=argparse.RawDescriptionHelpFormatter
@@ -72,6 +164,11 @@ def main(argv=None) -> None:
         "--restart_on_error", action="store_true",
         help="restart on ANY nonzero exit, not only the watchdog stall code",
     )
+    parser.add_argument(
+        "--ranks", type=int, default=1,
+        help="launch N replicas as one distributed gang (rank env + "
+        "localhost coordinator injected); any rank's stall restarts ALL",
+    )
     parser.add_argument("trainer", help="trainer CLI name (e.g. celeba, rp, mnist)")
     parser.add_argument(
         "args", nargs=argparse.REMAINDER,
@@ -79,18 +176,23 @@ def main(argv=None) -> None:
     )
     opt = parser.parse_args(argv)
 
-    module = (
-        opt.trainer if "." in opt.trainer else f"eadgan_tpu.cli.{opt.trainer}"
-    )
+    if opt.trainer.endswith(".py"):
+        base_cmd = [sys.executable, opt.trainer]
+    else:
+        module = (
+            opt.trainer if "." in opt.trainer else f"eadgan_tpu.cli.{opt.trainer}"
+        )
+        base_cmd = [sys.executable, "-m", module]
     child_args = list(opt.args)
     if child_args[:1] == ["--"]:
         child_args = child_args[1:]
 
     restarts = 0
     while True:
-        cmd = [sys.executable, "-m", module, *child_args]
-        print(f"supervise: launching {' '.join(cmd)}", flush=True)
-        rc = subprocess.run(cmd).returncode
+        cmd = base_cmd + child_args
+        gang = f" x{opt.ranks} ranks" if opt.ranks > 1 else ""
+        print(f"supervise: launching {' '.join(cmd)}{gang}", flush=True)
+        rc = _reap_gang(_launch_gang(cmd, opt.ranks))
         if rc == 0:
             print(f"supervise: trainer finished cleanly after {restarts} restart(s)")
             return

@@ -49,6 +49,7 @@ _CLUSTER_ENV_VARS = (
     "JAX_COORDINATOR_ADDRESS",
     "COORDINATOR_ADDRESS",
     "MEGASCALE_COORDINATOR_ADDRESS",
+    "EADGAN_MP_COORDINATOR",
 )
 
 
@@ -59,7 +60,19 @@ def initialize(
 ) -> None:
     """``jax.distributed.initialize`` wrapper that is a true no-op when
     there is no cluster: no coordinator argument, no cluster environment,
-    or an explicit ``num_processes <= 1``."""
+    or an explicit ``num_processes <= 1``.
+
+    The ``EADGAN_MP_*`` environment triple (``EADGAN_MP_COORDINATOR``,
+    ``EADGAN_MP_NUM_PROCESSES``, ``EADGAN_MP_PROCESS_ID``) fills any
+    argument the caller omits — it is how ``cli.supervise --ranks N``
+    hands each gang member its identity without the child command
+    needing rank flags of its own."""
+    if coordinator_address is None:
+        coordinator_address = os.environ.get("EADGAN_MP_COORDINATOR") or None
+    if num_processes is None and os.environ.get("EADGAN_MP_NUM_PROCESSES"):
+        num_processes = int(os.environ["EADGAN_MP_NUM_PROCESSES"])
+    if process_id is None and os.environ.get("EADGAN_MP_PROCESS_ID"):
+        process_id = int(os.environ["EADGAN_MP_PROCESS_ID"])
     if num_processes is not None and num_processes <= 1:
         return
     if coordinator_address is None and not any(

@@ -234,3 +234,159 @@ def test_stalled_process_exits_with_code_and_stacks(tmp_path):
     assert record["step"] == 7
     # the wedged main-thread stack is captured (faulthandler file:line form)
     assert "wedge.py" in diag and "line 6" in diag
+
+
+# --- gang supervision (cli.supervise --ranks N) --------------------------
+
+GANG_STUB = textwrap.dedent(
+    """
+    # Gang-member stub: records the rank environment the supervisor
+    # injected, then follows the scripted failure mode.  No jax import —
+    # this tests the supervisor's group semantics, not the collectives
+    # (those are drilled by tools/multiprocess_drive.py --gang_drill).
+    import argparse, json, os, sys, time
+
+    p = argparse.ArgumentParser()
+    p.add_argument("--state_dir", required=True)
+    p.add_argument("--resume", default="")
+    p.add_argument("--mode", default="stall_rank1")
+    opt = p.parse_args()
+    rank = os.environ["EADGAN_MP_PROCESS_ID"]
+    record = {
+        "resume": opt.resume,
+        "coord": os.environ["EADGAN_MP_COORDINATOR"],
+        "nprocs": os.environ["EADGAN_MP_NUM_PROCESSES"],
+    }
+    with open(os.path.join(opt.state_dir, f"rank{rank}.jsonl"), "a") as f:
+        f.write(json.dumps(record) + "\\n")
+    marker = os.path.join(opt.state_dir, "stalled_once")
+    first_life = not os.path.exists(marker)
+    if opt.mode == "stall_rank1" and rank == "1" and first_life:
+        open(marker, "w").close()
+        sys.exit(87)
+    if opt.mode == "peer_hangs" and first_life:
+        if rank == "0":
+            # this rank's watchdog "fires": exit 87 after a beat
+            time.sleep(0.3)
+            open(marker, "w").close()
+            sys.exit(87)
+        # the peer is parked inside a collective that will never
+        # complete: it must be KILLED by the supervisor, not waited on
+        time.sleep(3600)
+    print(f"rank {rank} done", flush=True)
+    """
+)
+
+
+def _write_gang_stub(tmp_path):
+    script = tmp_path / "gang_stub.py"
+    script.write_text(GANG_STUB)
+    return str(script)
+
+
+def test_supervise_gang_restarts_all_ranks(tmp_path, capsys):
+    """One rank exits 87 -> the supervisor relaunches the WHOLE gang
+    with --resume auto and a fresh coordinator port."""
+    from eadgan_tpu.cli import supervise
+
+    script = _write_gang_stub(tmp_path)
+    supervise.main(
+        ["--ranks", "2", "--max_restarts", "2", script,
+         "--", "--state_dir", str(tmp_path)]
+    )
+    lives = {}
+    for rank in (0, 1):
+        with open(tmp_path / f"rank{rank}.jsonl") as f:
+            lives[rank] = [json.loads(l) for l in f]
+    # every rank ran twice: the healthy rank was restarted too
+    assert len(lives[0]) == 2 and len(lives[1]) == 2
+    for rank in (0, 1):
+        assert lives[rank][0]["resume"] == ""
+        assert lives[rank][1]["resume"] == "auto"
+        assert lives[rank][0]["nprocs"] == "2"
+    # a Gloo coordinator cannot be rejoined: life 2 must get a new port
+    assert lives[0][0]["coord"] != lives[0][1]["coord"]
+    assert lives[0][1]["coord"] == lives[1][1]["coord"]
+    out = capsys.readouterr().out
+    assert "restart 1/2 with --resume auto" in out
+    assert "finished cleanly after 1 restart(s)" in out
+
+
+def test_supervise_gang_kills_wedged_survivor(tmp_path, capsys):
+    """A rank that never exits on its own (parked in a collective) is
+    killed when a peer exits 87, and the gang restart completes — the
+    whole point of group supervision: no rank is ever waited on
+    forever."""
+    from eadgan_tpu.cli import supervise
+
+    script = _write_gang_stub(tmp_path)
+    t0 = time.monotonic()
+    supervise.main(
+        ["--ranks", "2", "--max_restarts", "1", script,
+         "--", "--state_dir", str(tmp_path), "--mode", "peer_hangs"]
+    )
+    # far below the hung rank's 3600 s sleep: SIGTERM did the job
+    assert time.monotonic() - t0 < 60
+    out = capsys.readouterr().out
+    assert "finished cleanly after 1 restart(s)" in out
+
+
+def test_supervise_gang_propagates_real_errors(tmp_path):
+    """A non-stall failure (rc != 87) without --restart_on_error kills
+    the gang and propagates the code instead of restarting."""
+    script = tmp_path / "boom.py"
+    script.write_text(
+        textwrap.dedent(
+            """
+            import os, sys, time
+            if os.environ["EADGAN_MP_PROCESS_ID"] == "0":
+                sys.exit(3)
+            time.sleep(3600)
+            """
+        )
+    )
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    extra = os.environ.get("PYTHONPATH", "")
+    env = dict(
+        os.environ, PYTHONPATH=os.pathsep.join(filter(None, [repo, extra]))
+    )
+    t0 = time.monotonic()
+    proc = subprocess.run(
+        [sys.executable, "-m", "eadgan_tpu.cli.supervise",
+         "--ranks", "2", str(script)],
+        env=env, capture_output=True, text=True, timeout=120,
+    )
+    assert proc.returncode == 3
+    assert time.monotonic() - t0 < 60
+    assert "giving up after exit 3" in proc.stdout
+
+
+def test_initialize_env_fallback(monkeypatch):
+    """parallel.initialize() fills omitted args from the EADGAN_MP_*
+    env triple the gang supervisor injects."""
+    import jax
+
+    from eadgan_tpu.parallel import multihost
+
+    captured = {}
+    monkeypatch.setattr(
+        jax.distributed, "initialize", lambda **kw: captured.update(kw)
+    )
+    monkeypatch.setenv("EADGAN_MP_COORDINATOR", "localhost:5555")
+    monkeypatch.setenv("EADGAN_MP_NUM_PROCESSES", "4")
+    monkeypatch.setenv("EADGAN_MP_PROCESS_ID", "2")
+    multihost.initialize()
+    assert captured == {
+        "coordinator_address": "localhost:5555",
+        "num_processes": 4,
+        "process_id": 2,
+    }
+    # explicit args still win over the environment
+    captured.clear()
+    multihost.initialize(process_id=0)
+    assert captured["process_id"] == 0
+    # num_processes <= 1 stays a hard no-op even with a coordinator env
+    captured.clear()
+    monkeypatch.setenv("EADGAN_MP_NUM_PROCESSES", "1")
+    multihost.initialize()
+    assert captured == {}

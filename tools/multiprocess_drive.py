@@ -18,6 +18,18 @@ Usage:
     python tools/multiprocess_drive.py [--steps 2] [--out MULTIHOST.json]
     python tools/multiprocess_drive.py --worker --process_id N \
         --num_processes 2 --port P --out FILE     (internal)
+    python tools/multiprocess_drive.py --gang_drill [--steps 40] \
+        [--hang_step 25] [--out MULTIHOST_GANG.json]
+
+``--gang_drill`` is the multi-process stall-recovery drill (VERDICT r3
+item 2): a 2-process x 4-device DP gang trains under
+``cli.supervise --ranks 2`` with periodic coordinator checkpoints; a
+single rank is wedged mid-run by fault injection (the observed
+hung-tunnel-RPC failure), its watchdog exits 87, the supervisor kills
+the surviving rank (parked forever in a Gloo collective) and relaunches
+the WHOLE gang with ``--resume auto``; life 2 restores the last
+complete checkpoint and finishes.  The drill asserts the recovered
+run's per-step metrics match an uninterrupted gang run exactly.
 """
 
 from __future__ import annotations
@@ -25,9 +37,11 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import shutil
 import socket
 import subprocess
 import sys
+import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 DEVICES_PER_PROC = int(os.environ.get("EADGAN_MP_DEVICES_PER_PROC", "4"))
@@ -253,6 +267,244 @@ def worker(opt) -> None:
     print(f"worker {opt.process_id}: {json.dumps(last)}", flush=True)
 
 
+def gang_worker(opt) -> None:
+    """One rank of a supervised distributed run (``cli.supervise
+    --ranks N`` is the launcher): rank identity comes from the
+    ``EADGAN_MP_*`` env the supervisor injects, progress is guarded by a
+    per-rank stall watchdog whose heartbeat lands only after the step's
+    metrics were FETCHED (proven device-side progress), and the train
+    state checkpoints every ``--ckpt_every`` steps through
+    ``save_on_coordinator``.  ``--resume auto`` (what the supervisor
+    appends on restart) restores the newest *loadable* checkpoint on
+    every rank.
+
+    Fault injection for the drill: ``EADGAN_FAULT_HANG_RANK`` +
+    ``EADGAN_FAULT_HANG_STEP`` wedge exactly one rank's host thread
+    forever (the observed hung-RPC failure mode), transient across lives
+    via ``EADGAN_FAULT_HANG_MARKER`` — the same contract as the
+    single-process drill hook in train/engine.py.
+    """
+    _init_jax(opt.devices_per_proc)
+    from eadgan_tpu.parallel import initialize
+
+    initialize()  # rank identity from the EADGAN_MP_* env (supervise --ranks)
+
+    import jax
+    import numpy as np
+
+    from eadgan_tpu.parallel import (
+        default_mesh,
+        global_batch_from_host,
+        host_barrier,
+        host_batch_slice,
+        is_coordinator,
+        save_on_coordinator,
+    )
+    from eadgan_tpu.train.checkpoint import restore_latest
+    from eadgan_tpu.utils.watchdog import Watchdog
+
+    state, step, place, batch_shape = _PIPELINES[opt.pipeline]()
+    mesh = default_mesh()
+
+    if opt.resume == "auto":
+        # every rank restores the same newest *loadable* file (the
+        # corrupt-tolerant fallback of train/checkpoint.py) and
+        # re-places it on its local mesh slice
+        state, restored = restore_latest(
+            opt.ckpt_dir, "train_state", jax.device_get(state)
+        )
+        if restored >= 0:
+            print(
+                f"gang_worker rank {jax.process_index()}: resumed from "
+                f"step {restored}", flush=True,
+            )
+    state = place(state)
+    start = int(jax.device_get(state.step))
+
+    batch = np.random.default_rng(42).uniform(0, 1, batch_shape).astype(np.float32)
+    state_sh = jax.tree.map(lambda x: x.sharding, state)
+
+    @jax.jit
+    def step_pinned(st, img):
+        st2, m = step(st, img)
+        st2 = jax.tree.map(
+            lambda x, s: jax.lax.with_sharding_constraint(x, s), st2, state_sh
+        )
+        return st2, m
+
+    local0 = batch[host_batch_slice(batch.shape[0])]
+    compiled = step_pinned.lower(
+        state, global_batch_from_host(mesh, local0)
+    ).compile()
+    host_barrier("eadgan_gang_warm")
+
+    wd = Watchdog(opt.watchdog).start() if opt.watchdog else None
+    hang_step = int(os.environ.get("EADGAN_FAULT_HANG_STEP", 0) or 0)
+    hang_rank = int(os.environ.get("EADGAN_FAULT_HANG_RANK", 0) or 0)
+    marker = os.environ.get("EADGAN_FAULT_HANG_MARKER", "")
+    if hang_step and marker and os.path.exists(marker):
+        hang_step = 0  # transient fault: the restarted life skips it
+
+    jsonl = open(os.path.join(opt.ckpt_dir, "metrics.jsonl"), "a") if (
+        is_coordinator()
+    ) else None
+    try:
+        for i in range(start, opt.steps):
+            full = batch if i % 2 == 0 else batch[::-1]  # deterministic per step
+            local = full[host_batch_slice(full.shape[0])]
+            state, metrics = compiled(state, global_batch_from_host(mesh, local))
+            m = {k: float(v) for k, v in sorted(metrics.items())}  # forces fetch
+            done = i + 1
+            if jsonl is not None:
+                jsonl.write(json.dumps({"step": done, **m}) + "\n")
+                jsonl.flush()
+            if wd is not None:
+                wd.beat(done)  # metrics fetched above: proven device progress
+            if hang_step and done >= hang_step and jax.process_index() == hang_rank:
+                if marker:
+                    open(marker, "w").close()
+                print(
+                    f"gang_worker rank {hang_rank}: fault injection, "
+                    f"hanging at step {done}", flush=True,
+                )
+                while True:
+                    time.sleep(3600)
+            if opt.ckpt_every and done % opt.ckpt_every == 0 and done < opt.steps:
+                save_on_coordinator(
+                    os.path.join(opt.ckpt_dir, f"train_state_{done}.ckpt"), state
+                )
+    finally:
+        if jsonl is not None:
+            jsonl.close()
+    if wd is not None:
+        wd.stop()
+    print(
+        f"gang_worker rank {jax.process_index()}: done at step {opt.steps}",
+        flush=True,
+    )
+
+
+def gang_drill(opt) -> int:
+    """Run the supervised-gang stall-recovery drill and verify it.
+
+    Phase 1 (reference): an uninterrupted ``--ranks N`` gang run.
+    Phase 2 (faulted): the same run with rank 1 wedged at
+    ``--hang_step``; the supervisor must restart the whole gang once and
+    life 2 must finish.  Every step the faulted run logged must match
+    the reference run's same-step metrics exactly (resume is bit-exact
+    and the data schedule is a pure function of the step index).
+    """
+    if not 0 < opt.hang_step < opt.steps:
+        raise SystemExit(
+            f"--hang_step {opt.hang_step} must fall inside the run "
+            f"(--steps {opt.steps}), or the fault never fires and the "
+            "drill silently tests nothing — use e.g. --steps 40 --hang_step 25"
+        )
+    env_base = dict(
+        os.environ, PYTHONPATH=f"{REPO}:{os.environ.get('PYTHONPATH', '')}"
+    )
+    me = os.path.abspath(__file__)
+    phases = {}
+    ok = True
+    for phase in ("reference", "faulted"):
+        workdir = f"/tmp/eadgan_gang_{phase}"
+        shutil.rmtree(workdir, ignore_errors=True)
+        os.makedirs(workdir)
+        env = dict(env_base)
+        if phase == "faulted":
+            env.update(
+                EADGAN_FAULT_HANG_STEP=str(opt.hang_step),
+                EADGAN_FAULT_HANG_RANK="1",
+                EADGAN_FAULT_HANG_MARKER=os.path.join(workdir, "fault_fired"),
+            )
+        cmd = [
+            sys.executable, "-m", "eadgan_tpu.cli.supervise",
+            "--ranks", str(opt.num_processes), "--max_restarts", "2",
+            me, "--",
+            "--gang_worker", "--steps", str(opt.steps),
+            "--ckpt_every", str(opt.ckpt_every), "--ckpt_dir", workdir,
+            "--watchdog", str(opt.watchdog), "--pipeline", opt.pipeline,
+            "--devices_per_proc", str(opt.devices_per_proc),
+        ]
+        print(f"[gang_drill] {phase}: {' '.join(cmd)}", flush=True)
+        t0 = time.time()
+        proc = subprocess.run(
+            cmd, env=env, capture_output=True, text=True, timeout=3600
+        )
+        wall = round(time.time() - t0, 1)
+        log = proc.stdout + proc.stderr
+        with open(os.path.join(workdir, "supervise.log"), "w") as f:
+            f.write(log)
+        rows = {}
+        metrics_path = os.path.join(workdir, "metrics.jsonl")
+        if os.path.exists(metrics_path):
+            with open(metrics_path) as f:
+                for line in f:
+                    r = json.loads(line)
+                    rows[r.pop("step")] = r  # later lives win on overlap
+        phases[phase] = {
+            "returncode": proc.returncode,
+            "wall_s": wall,
+            "rows": rows,
+            "restarts": log.count("restart 1/"),
+            "log_dir": workdir,
+        }
+        if proc.returncode != 0:
+            print(f"[gang_drill] {phase} FAILED rc={proc.returncode}\n{log[-4000:]}")
+            ok = False
+
+    ref, flt = phases["reference"], phases["faulted"]
+    checks = {
+        "reference_clean": ref["returncode"] == 0 and ref["restarts"] == 0,
+        "fault_fired": os.path.exists("/tmp/eadgan_gang_faulted/fault_fired"),
+        "gang_restarted_once": flt["restarts"] >= 1,
+        "recovered_to_completion": flt["returncode"] == 0
+        and max(flt["rows"], default=0) == opt.steps,
+        "watchdog_stall_in_log": "watchdog_stall" in open(
+            "/tmp/eadgan_gang_faulted/supervise.log"
+        ).read(),
+    }
+    # every step both runs logged must match: resume restores bit-exact
+    # state and the batch schedule is a pure function of the step index
+    max_diff, compared = 0.0, 0
+    for s, r in flt["rows"].items():
+        if s not in ref["rows"]:
+            continue
+        for k, v in r.items():
+            max_diff = max(max_diff, abs(v - ref["rows"][s][k]))
+            compared += 1
+    checks["steps_match_uninterrupted"] = compared > 0 and max_diff <= 1e-6
+    ok &= all(checks.values())
+
+    report = {
+        "what": (
+            "multi-process stall recovery: cli.supervise --ranks "
+            f"{opt.num_processes} owns the gang; rank 1 wedged at step "
+            f"{opt.hang_step}; watchdog exit 87 on any rank kills all "
+            "ranks and relaunches the gang with --resume auto"
+        ),
+        "topology": f"{opt.num_processes} processes x {opt.devices_per_proc} "
+        "devices, Gloo coordinator (fresh port per life)",
+        "pipeline": opt.pipeline,
+        "steps": opt.steps,
+        "ckpt_every": opt.ckpt_every,
+        "hang_step": opt.hang_step,
+        "watchdog_s": opt.watchdog,
+        "checks": checks,
+        "metric_rows_compared": compared,
+        "max_abs_metric_diff_vs_uninterrupted": max_diff,
+        "reference_wall_s": ref["wall_s"],
+        "faulted_wall_s": flt["wall_s"],
+        "all_pass": bool(ok),
+    }
+    with open(opt.out, "w") as f:
+        json.dump(report, f, indent=2)
+    for k, v in checks.items():
+        print(f"  {'PASS' if v else 'FAIL'} {k}")
+    print(f"wrote {opt.out}; all_pass={ok}")
+    return 0 if ok else 1
+
+
 def baseline(opt) -> None:
     _init_jax(8)
     # ckpt_path="": the baseline must NOT write opt.ckpt — the resume
@@ -440,9 +692,37 @@ def main(argv=None) -> int:
         "--resume_processes", type=int, default=4,
         help="process count for the resume phase (devices_per_proc = 8/N)",
     )
-    parser.add_argument("--resume", action="store_true", help="(internal)")
+    parser.add_argument(
+        "--resume", nargs="?", const="1", default="",
+        help="(internal) truthy for the worker resume phase; 'auto' in "
+        "gang mode restores the newest loadable checkpoint (what "
+        "cli.supervise appends on restart)",
+    )
     parser.add_argument("--out", default=os.path.join(REPO, "MULTIHOST_MP.json"))
+    # gang mode (supervised multi-process stall recovery)
+    parser.add_argument("--gang_worker", action="store_true")
+    parser.add_argument("--gang_drill", action="store_true")
+    parser.add_argument("--ckpt_dir", default="/tmp/eadgan_gang")
+    parser.add_argument(
+        "--ckpt_every", type=int, default=10,
+        help="gang mode: coordinator checkpoint interval (steps)",
+    )
+    parser.add_argument(
+        "--watchdog", type=float, default=15.0,
+        help="gang mode: per-rank stall watchdog timeout (seconds); keep "
+        "it below Gloo's ~30s collective timeout so the drill proves the "
+        "87 path rather than a collective error",
+    )
+    parser.add_argument(
+        "--hang_step", type=int, default=25,
+        help="gang drill: step at which rank 1 wedges",
+    )
     opt = parser.parse_args(argv)
+    if opt.gang_worker:
+        gang_worker(opt)
+        return 0
+    if opt.gang_drill:
+        return gang_drill(opt)
     if opt.worker:
         worker(opt)
         return 0
