@@ -54,6 +54,7 @@ from __future__ import annotations
 
 import argparse
 import os
+import signal
 import socket
 import subprocess
 import sys
@@ -176,6 +177,17 @@ def main(argv=None) -> None:
     )
     opt = parser.parse_args(argv)
 
+    # SIGTERM normally kills the process without unwinding, which would
+    # orphan the gang; convert it to SystemExit so the kill-gang cleanup
+    # below runs (SIGKILL remains unhandleable — ranks then need manual
+    # cleanup, which the next life's fresh coordinator port tolerates).
+    try:
+        signal.signal(
+            signal.SIGTERM, lambda *_: sys.exit(128 + signal.SIGTERM)
+        )
+    except ValueError:
+        pass  # not the main thread (in-process test harness) — skip
+
     if opt.trainer.endswith(".py"):
         base_cmd = [sys.executable, opt.trainer]
     else:
@@ -192,7 +204,16 @@ def main(argv=None) -> None:
         cmd = base_cmd + child_args
         gang = f" x{opt.ranks} ranks" if opt.ranks > 1 else ""
         print(f"supervise: launching {' '.join(cmd)}{gang}", flush=True)
-        rc = _reap_gang(_launch_gang(cmd, opt.ranks))
+        procs = _launch_gang(cmd, opt.ranks)
+        try:
+            rc = _reap_gang(procs)
+        except BaseException:
+            # The supervisor itself is dying (Ctrl-C, SIGTERM via
+            # KeyboardInterrupt/SystemExit, unexpected error).  Take the
+            # gang down with us: orphaned ranks would keep training and
+            # then double-run against the next supervised launch.
+            _kill_gang(procs)
+            raise
         if rc == 0:
             print(f"supervise: trainer finished cleanly after {restarts} restart(s)")
             return

@@ -390,3 +390,59 @@ def test_initialize_env_fallback(monkeypatch):
     monkeypatch.setenv("EADGAN_MP_NUM_PROCESSES", "1")
     multihost.initialize()
     assert captured == {}
+
+
+def test_supervise_sigterm_kills_gang(tmp_path):
+    """SIGTERM to the supervisor takes the whole gang down with it —
+    orphaned ranks would keep training and double-run against the next
+    supervised launch."""
+    script = tmp_path / "sleeper.py"
+    script.write_text(
+        textwrap.dedent(
+            """
+            import os, time
+            rank = os.environ["EADGAN_MP_PROCESS_ID"]
+            with open(os.path.join(%r, f"pid{rank}"), "w") as f:
+                f.write(str(os.getpid()))
+            time.sleep(3600)
+            """
+            % str(tmp_path)
+        )
+    )
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    extra = os.environ.get("PYTHONPATH", "")
+    env = dict(
+        os.environ, PYTHONPATH=os.pathsep.join(filter(None, [repo, extra]))
+    )
+    sup = subprocess.Popen(
+        [sys.executable, "-m", "eadgan_tpu.cli.supervise",
+         "--ranks", "2", str(script)],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+    )
+    deadline = time.monotonic() + 60
+    pids = []
+    while time.monotonic() < deadline and len(pids) < 2:
+        pids = [
+            int((tmp_path / f"pid{r}").read_text())
+            for r in (0, 1)
+            if (tmp_path / f"pid{r}").exists()
+        ]
+        time.sleep(0.1)
+    assert len(pids) == 2, "gang never launched"
+    sup.send_signal(subprocess.signal.SIGTERM)
+    sup.wait(timeout=60)
+    assert sup.returncode == 128 + subprocess.signal.SIGTERM
+    # both ranks must be gone (SIGTERM path, well under the 3600 s sleep)
+    deadline = time.monotonic() + 30
+    while time.monotonic() < deadline:
+        alive = []
+        for pid in pids:
+            try:
+                os.kill(pid, 0)
+                alive.append(pid)
+            except ProcessLookupError:
+                pass
+        if not alive:
+            break
+        time.sleep(0.2)
+    assert not alive, f"orphaned gang ranks survive the supervisor: {alive}"
