@@ -20,7 +20,7 @@ from eadgan_tpu.data import load_image_folder
 from eadgan_tpu.models import CelebaDiscriminator, CelebaGenerator
 from eadgan_tpu.ops import warp_affine
 from eadgan_tpu.sample.figures import celeba_training_grids
-from eadgan_tpu.train.checkpoint import save_pytree
+from eadgan_tpu.train.checkpoint import save_pytree, save_train_state
 from eadgan_tpu.train.config import CelebaConfig
 from eadgan_tpu.train.gan_celeba import init_celeba_gan_state, make_celeba_gan_step
 from eadgan_tpu.transforms import RPQXY, code_to_matrix
@@ -117,9 +117,9 @@ def main(argv=None) -> None:
                     "batches_done": batches_done,
                 },
             )
-            save_pytree(
-                os.path.join(opt.ckpt_dir, f"celeba_train_state_{batches_done}.ckpt"),
-                state,
+            save_train_state(
+                opt.ckpt_dir, "celeba_train_state", batches_done, state,
+                keep=opt.keep_states,
             )
 
     run_epochs(

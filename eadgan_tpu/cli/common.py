@@ -165,6 +165,16 @@ def add_run_args(parser: argparse.ArgumentParser) -> None:
         "replicated. Requires the chained engine (--chain > 1)",
     )
     parser.add_argument(
+        "--keep_states",
+        type=int,
+        default=0,
+        help="retention for <stem>_train_state_*.ckpt files: keep only "
+        "the N newest, pruning older ones after each save (0 = keep "
+        "all). Use >= 2 so --resume auto retains a fallback when the "
+        "newest file is damaged. Reference-contract model files "
+        "(generator_*.pt, checkpoint_*.tar, ...) are never pruned",
+    )
+    parser.add_argument(
         "--watchdog",
         type=float,
         default=0.0,

@@ -26,7 +26,7 @@ from eadgan_tpu.models import (
 )
 from eadgan_tpu.ops import warp_affine
 from eadgan_tpu.sample.figures import mnist_training_grids
-from eadgan_tpu.train.checkpoint import restore_model, save_model, save_pytree
+from eadgan_tpu.train.checkpoint import restore_model, save_model, save_train_state
 from eadgan_tpu.train.config import MnistConfig
 from eadgan_tpu.train.gan_mnist import init_mnist_gan_state, make_mnist_gan_step
 from eadgan_tpu.train.state import ModelVars
@@ -129,8 +129,9 @@ def main(argv=None) -> None:
         if batches_done % (config.sample_interval * 10) == 0:
             save_model(os.path.join(opt.ckpt_dir, f"generator_{batches_done}.pt"), state.g)
             save_model(os.path.join(opt.ckpt_dir, f"encoder_{batches_done}.pt"), state.e)
-            save_pytree(
-                os.path.join(opt.ckpt_dir, f"mnist_train_state_{batches_done}.ckpt"), state
+            save_train_state(
+                opt.ckpt_dir, "mnist_train_state", batches_done, state,
+                keep=opt.keep_states,
             )
 
     run_epochs(

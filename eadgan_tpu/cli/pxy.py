@@ -20,7 +20,7 @@ from eadgan_tpu.data import load_dsprites
 from eadgan_tpu.models import SpritesEncoderPxy
 from eadgan_tpu.ops import warp_affine
 from eadgan_tpu.sample.figures import pxy_grids
-from eadgan_tpu.train.checkpoint import save_model, save_pytree
+from eadgan_tpu.train.checkpoint import save_model, save_train_state
 from eadgan_tpu.train.config import PxyConfig
 from eadgan_tpu.train.pretrain import colorize, init_pxy_state, make_pxy_step
 from eadgan_tpu.train.state import apply_model
@@ -109,9 +109,9 @@ def main(argv=None, colored: bool = False) -> None:
             save_model(
                 os.path.join(opt.ckpt_dir, f"{stem}_{batches_done}.pt"), state.model
             )
-            save_pytree(
-                os.path.join(opt.ckpt_dir, f"{stem}_train_state_{batches_done}.ckpt"),
-                state,
+            save_train_state(
+                opt.ckpt_dir, f"{stem}_train_state", batches_done, state,
+                keep=opt.keep_states,
             )
 
     run_epochs(

@@ -27,7 +27,7 @@ from eadgan_tpu.models import (
     SpritesGenerator,
 )
 from eadgan_tpu.sample.figures import sprites_training_grids
-from eadgan_tpu.train.checkpoint import save_model, save_pytree
+from eadgan_tpu.train.checkpoint import save_model, save_train_state
 from eadgan_tpu.train.config import SpritesGanConfig
 from eadgan_tpu.train.gan_dsprites import (
     align_images,
@@ -166,8 +166,9 @@ def main(argv=None, colored: bool = False) -> None:
             save_model(
                 os.path.join(opt.ckpt_dir, f"generator_{batches_done}.pt"), state.g
             )
-            save_pytree(
-                os.path.join(opt.ckpt_dir, f"rp_train_state_{batches_done}.ckpt"), state
+            save_train_state(
+                opt.ckpt_dir, "rp_train_state", batches_done, state,
+                keep=opt.keep_states,
             )
 
     run_epochs(

@@ -45,6 +45,8 @@ __all__ = [
     "latest_step",
     "saved_steps",
     "restore_latest",
+    "prune_saved",
+    "save_train_state",
 ]
 
 
@@ -152,6 +154,48 @@ def latest_step(directory: str, prefix: str, suffix: str = ".ckpt") -> int:
     """Find the newest saved step for ``prefix_%d%suffix`` files; -1 if none."""
     steps = saved_steps(directory, prefix, suffix)
     return steps[0] if steps else -1
+
+
+def prune_saved(
+    directory: str, prefix: str, keep: int, suffix: str = ".ckpt"
+) -> List[str]:
+    """Delete all but the ``keep`` newest ``prefix_%d%suffix`` files.
+
+    Retention for long supervised runs: a 600k-step CelebA schedule
+    writes ten ~500 MiB ``celeba_train_state_%d.ckpt`` files at the
+    default cadence and the 800k burn-in wrote more — without pruning,
+    disk grows without bound (the reference never hits this because it
+    has no train-state files at all; its ``checkpoint_%d.tar`` model
+    contract is NOT pruned here).  ``keep < 1`` is a no-op (keep
+    everything, the parity-preserving default).  Keep at least 2 so
+    :func:`restore_latest` retains a fallback when the newest file is
+    damaged.  Returns the removed paths (for logging/tests).  Missing
+    files are tolerated (another life of a supervised gang may prune
+    concurrently)."""
+    if keep < 1:
+        return []
+    removed = []
+    for step in saved_steps(directory, prefix, suffix)[keep:]:
+        path = os.path.join(directory, f"{prefix}_{step}{suffix}")
+        try:
+            os.unlink(path)
+            removed.append(path)
+        except OSError:
+            pass
+    return removed
+
+
+def save_train_state(
+    ckpt_dir: str, stem: str, step: int, state: Any, keep: int = 0
+) -> str:
+    """Save the full train state as ``<stem>_<step>.ckpt`` (atomically,
+    :func:`save_pytree`) and apply the ``keep``-newest retention policy
+    (:func:`prune_saved`; ``keep=0`` keeps everything).  The trainers'
+    ``--keep_states`` flag routes here."""
+    path = os.path.join(ckpt_dir, f"{stem}_{step}.ckpt")
+    save_pytree(path, state)
+    prune_saved(ckpt_dir, stem, keep)
+    return path
 
 
 def restore_latest(

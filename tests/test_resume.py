@@ -146,6 +146,36 @@ def test_restore_latest_falls_back_on_corrupt_newest(tmp_path, capsys):
     np.testing.assert_array_equal(restored["w"], template["w"])
 
 
+def test_prune_saved_retention(tmp_path):
+    """save_train_state(keep=N) prunes to the N newest train-state
+    files; keep=0 keeps everything; reference-contract model files in
+    the same directory are untouched (different prefix/suffix)."""
+    from eadgan_tpu.train import checkpoint as ckpt
+
+    tree = {"w": np.arange(8, dtype=np.float32)}
+    ckpt.save_pytree(str(tmp_path / "checkpoint_100.tar"), tree)  # contract file
+    for step in (100, 200, 300):
+        ckpt.save_train_state(str(tmp_path), "s_train_state", step, tree, keep=0)
+    assert ckpt.saved_steps(str(tmp_path), "s_train_state") == [300, 200, 100]
+
+    path = ckpt.save_train_state(str(tmp_path), "s_train_state", 400, tree, keep=2)
+    assert path.endswith("s_train_state_400.ckpt")
+    assert ckpt.saved_steps(str(tmp_path), "s_train_state") == [400, 300]
+    assert os.path.exists(tmp_path / "checkpoint_100.tar")  # never pruned
+
+    # keep=2 retains a fallback: corrupt the newest, restore falls back
+    with open(tmp_path / "s_train_state_400.ckpt", "wb") as f:
+        f.write(b"bad")
+    restored, step = ckpt.restore_latest(
+        str(tmp_path), "s_train_state", {"w": np.zeros(8, dtype=np.float32)}
+    )
+    assert step == 300
+    np.testing.assert_array_equal(restored["w"], tree["w"])
+
+    # pruning a missing file is tolerated (concurrent prune)
+    assert ckpt.prune_saved(str(tmp_path), "absent", keep=1) == []
+
+
 def test_maybe_resume_auto_skips_corrupt_newest(tmp_path, capsys):
     """The CLI path end-to-end: --resume auto on a dir whose newest
     checkpoint is truncated restores the previous one."""
