@@ -50,3 +50,34 @@ def test_celeba_grids(tmp_path, rng):
         assert os.path.exists(os.path.join(out, f"varying_c{i}", "0.png"))
     celeba_inference_grids(_fake_g((64, 64, 3)), out + "/inf")
     assert os.path.exists(os.path.join(out, "inf", "varying_c8", "0.png"))
+
+
+def test_plot_metrics_tool(tmp_path):
+    """tools/plot_metrics.py renders curves from MetricLogger JSONL:
+    multi-file overlay, restart dedup (latest record wins), smoothing,
+    and the throughput panel all execute headless."""
+    import json
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    import plot_metrics
+
+    a = tmp_path / "a.jsonl"
+    with open(a, "w") as f:
+        for s in range(60):
+            f.write(json.dumps({"step": s, "t": s * 0.1, "d_loss": 1.0 / (s + 1), "g_loss": 0.5}) + "\n")
+        # a restarted life replays step 59 with a different value: dedup keeps it
+        f.write(json.dumps({"step": 59, "t": 6.0, "d_loss": 42.0, "g_loss": 0.5}) + "\n")
+    b = tmp_path / "b.jsonl"
+    with open(b, "w") as f:
+        for s in range(40):
+            f.write(json.dumps({"step": s, "t": s * 0.2, "d_loss": 0.9}) + "\n")
+
+    rows = plot_metrics.load_jsonl(str(a))
+    assert len(rows) == 60 and rows[-1]["d_loss"] == 42.0
+
+    out = plot_metrics.main(
+        [str(a), str(b), "--out", str(tmp_path / "p" / "curves.png"),
+         "--smooth", "7", "--throughput"]
+    )
+    assert os.path.exists(out) and os.path.getsize(out) > 10_000
