@@ -81,6 +81,13 @@ def with_resume_auto(args):
 
 
 def _free_port() -> int:
+    """An ephemeral port that was free at probe time.  Inherent TOCTOU:
+    the probe socket closes before rank 0 binds the Gloo coordinator, so
+    a concurrent service can steal the port in between — the gang then
+    exits nonzero at startup, which costs one ``--restart_on_error``
+    life (fresh port next time).  Unavoidable without coordinator-side
+    port publication; collisions are rare and self-healing under the
+    bounded retry loop."""
     with socket.socket() as s:
         s.bind(("localhost", 0))
         return s.getsockname()[1]
@@ -99,14 +106,22 @@ def _launch_gang(cmd, ranks):
         return [subprocess.Popen(cmd)]
     port = _free_port()
     procs = []
-    for i in range(ranks):
-        env = dict(
-            os.environ,
-            EADGAN_MP_PROCESS_ID=str(i),
-            EADGAN_MP_NUM_PROCESSES=str(ranks),
-            EADGAN_MP_COORDINATOR=f"localhost:{port}",
-        )
-        procs.append(subprocess.Popen(cmd, env=env))
+    try:
+        for i in range(ranks):
+            env = dict(
+                os.environ,
+                EADGAN_MP_PROCESS_ID=str(i),
+                EADGAN_MP_NUM_PROCESSES=str(ranks),
+                EADGAN_MP_COORDINATOR=f"localhost:{port}",
+            )
+            procs.append(subprocess.Popen(cmd, env=env))
+    except BaseException:
+        # A failed spawn mid-gang (fork ENOMEM, SIGTERM between Popen
+        # calls) must not orphan the ranks already launched — they would
+        # keep training and double-run against the next supervised
+        # launch.  The caller's cleanup only covers a fully-built gang.
+        _kill_gang(procs)
+        raise
     return procs
 
 
@@ -168,7 +183,13 @@ def main(argv=None) -> None:
     parser.add_argument(
         "--ranks", type=int, default=1,
         help="launch N replicas as one distributed gang (rank env + "
-        "localhost coordinator injected); any rank's stall restarts ALL",
+        "localhost coordinator injected); any rank's stall restarts ALL. "
+        "NOTE: only rank identity is injected, not accelerator "
+        "partitioning — the trainer must own its device split (CPU "
+        "workers size their virtual mesh from the rank env, e.g. "
+        "tools/multiprocess_drive.py --gang_worker; on a real TPU pod "
+        "each host's libtpu env must already be partitioned by the "
+        "launcher). N trainer CLIs sharing ONE chip will fight over it",
     )
     parser.add_argument("trainer", help="trainer CLI name (e.g. celeba, rp, mnist)")
     parser.add_argument(

@@ -33,7 +33,7 @@ from __future__ import annotations
 import os
 import re
 import sys
-from typing import Any, List, Tuple
+from typing import Any, List, Optional, Tuple
 
 from flax import serialization
 
@@ -97,6 +97,18 @@ def save_pytree(path: str, tree: Any) -> None:
     os.makedirs(directory, exist_ok=True)
     data = serialization.to_bytes(tree)
     _maybe_fault_kill_mid_write(path, data)
+    # Clean stale temp files for THIS final path first: the watchdog's
+    # os._exit(87) skips ``finally``, so a stall-kill landing inside the
+    # write loop below orphans a large ``<path>.tmp.<oldpid>`` that no
+    # restarted life (new pid) would otherwise reuse or remove — and a
+    # supervised run re-reaches the same step and re-saves the same
+    # filename, so cleaning here bounds the litter to one tmp per path.
+    for name in os.listdir(directory):
+        if name.startswith(os.path.basename(path) + ".tmp."):
+            try:
+                os.unlink(os.path.join(directory, name))
+            except OSError:
+                pass
     tmp = f"{path}.tmp.{os.getpid()}"
     try:
         with open(tmp, "wb") as f:
@@ -157,7 +169,11 @@ def latest_step(directory: str, prefix: str, suffix: str = ".ckpt") -> int:
 
 
 def prune_saved(
-    directory: str, prefix: str, keep: int, suffix: str = ".ckpt"
+    directory: str,
+    prefix: str,
+    keep: int,
+    suffix: str = ".ckpt",
+    current_step: Optional[int] = None,
 ) -> List[str]:
     """Delete all but the ``keep`` newest ``prefix_%d%suffix`` files.
 
@@ -171,15 +187,55 @@ def prune_saved(
     :func:`restore_latest` retains a fallback when the newest file is
     damaged.  Returns the removed paths (for logging/tests).  Missing
     files are tolerated (another life of a supervised gang may prune
-    concurrently)."""
+    concurrently).
+
+    ``current_step`` (what :func:`save_train_state` passes) anchors
+    "newest" to the step just written, NOT to the largest number on
+    disk: after a corrupt-newest fallback resume, a stale higher-step
+    file from the abandoned timeline is garbage — ranked naively it
+    would permanently occupy a retention slot and, at ``keep=1``, cause
+    every just-written lower-step checkpoint to be deleted on the spot.
+    With an anchor, files above ``current_step`` are pruned FIRST and
+    the retained set is the ``keep`` newest at or below it.  Dead-pid
+    ``*.tmp.*`` orphans for this prefix (a kill skipped ``finally``
+    during a write, and the step was never re-reached) are swept in the
+    same pass."""
     if keep < 1:
         return []
+    steps = saved_steps(directory, prefix, suffix)
+    if current_step is not None:
+        retained = [s for s in steps if s <= current_step][:keep]
+    else:
+        retained = steps[:keep]
     removed = []
-    for step in saved_steps(directory, prefix, suffix)[keep:]:
+    for step in steps:
+        if step in retained:
+            continue
         path = os.path.join(directory, f"{prefix}_{step}{suffix}")
         try:
             os.unlink(path)
             removed.append(path)
+        except OSError:
+            pass
+    # Orphan temp sweep: <prefix>_N<suffix>.tmp.<pid> whose pid is gone.
+    pat = re.compile(
+        re.escape(prefix) + r"_\d+" + re.escape(suffix) + r"\.tmp\.(\d+)$"
+    )
+    for name in os.listdir(directory) if os.path.isdir(directory) else []:
+        m = pat.match(name)
+        if not m:
+            continue
+        pid = int(m.group(1))
+        try:
+            os.kill(pid, 0)  # raises if the writer no longer exists
+            continue  # a live process owns it — leave it alone
+        except ProcessLookupError:
+            pass
+        except OSError:
+            continue  # e.g. EPERM: some live process has that pid
+        try:
+            os.unlink(os.path.join(directory, name))
+            removed.append(os.path.join(directory, name))
         except OSError:
             pass
     return removed
@@ -194,7 +250,7 @@ def save_train_state(
     ``--keep_states`` flag routes here."""
     path = os.path.join(ckpt_dir, f"{stem}_{step}.ckpt")
     save_pytree(path, state)
-    prune_saved(ckpt_dir, stem, keep)
+    prune_saved(ckpt_dir, stem, keep, current_step=step)
     return path
 
 

@@ -90,7 +90,10 @@ def main() -> int:
         labels=None,
         batch_size=opt.batch_size,
         state=state2,
-        step_fn=None,
+        # chain > 1 drives the scan engine from the un-jitted body;
+        # chain = 1 is the per-dispatch engine, which needs the jitted
+        # step — supply both so every --chain value the flag accepts works
+        step_fn=step,
         step_body=body,
         chain=opt.chain,
         max_steps=opt.steps,

@@ -81,3 +81,13 @@ def test_plot_metrics_tool(tmp_path):
          "--smooth", "7", "--throughput"]
     )
     assert os.path.exists(out) and os.path.getsize(out) > 10_000
+
+    # throughput never differences across a restart's clock reset: two
+    # lives at 10 steps/s with t restarting near 0 must yield only ~10
+    # (a boundary-spanning window would fabricate a huge rate)
+    import numpy as np
+
+    steps = np.arange(100)
+    t = np.concatenate([steps[:50] * 0.1, (steps[50:] - 50) * 0.1])
+    x, rate = plot_metrics.throughput(steps, t, window=20)
+    assert len(rate) > 0 and np.allclose(rate, 10.0)

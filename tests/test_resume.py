@@ -176,6 +176,57 @@ def test_prune_saved_retention(tmp_path):
     assert ckpt.prune_saved(str(tmp_path), "absent", keep=1) == []
 
 
+def test_prune_anchors_to_current_step_after_fallback(tmp_path):
+    """Retention after a corrupt-newest fallback: the stale higher-step
+    file from the abandoned timeline must not occupy a keep slot or —
+    at keep=1 — cause the just-written lower-step checkpoint to be
+    deleted.  save_train_state anchors pruning to the step it wrote:
+    stale-future files go first, the new file is always retained."""
+    from eadgan_tpu.train import checkpoint as ckpt
+
+    tree = {"w": np.arange(4, dtype=np.float32)}
+    # life 1 reached step 400 but left it corrupt; life 2 resumed at 300
+    with open(tmp_path / "s_400.ckpt", "wb") as f:
+        f.write(b"corrupt")
+    ckpt.save_pytree(str(tmp_path / "s_300.ckpt"), tree)
+
+    # life 2's first save after the fallback
+    ckpt.save_train_state(str(tmp_path), "s", 310, tree, keep=1)
+    assert ckpt.saved_steps(str(tmp_path), "s") == [310]  # 400 AND 300 pruned
+
+    restored, step = ckpt.restore_latest(
+        str(tmp_path), "s", {"w": np.zeros(4, dtype=np.float32)}
+    )
+    assert step == 310  # --resume auto now finds the live timeline
+
+
+def test_tmp_orphan_cleanup(tmp_path):
+    """A kill during a write skips ``finally`` and orphans
+    ``<path>.tmp.<pid>``: re-saving the same path removes it, and
+    prune_saved sweeps dead-pid orphans for the prefix.  A tmp owned by
+    a LIVE pid is left alone."""
+    from eadgan_tpu.train import checkpoint as ckpt
+
+    tree = {"w": np.arange(4, dtype=np.float32)}
+    final = tmp_path / "s_100.ckpt"
+    dead_pid = 4_000_000  # > kernel.pid_max default: never a live process
+    orphan = tmp_path / f"s_100.ckpt.tmp.{dead_pid}"
+    orphan.write_bytes(b"partial")
+
+    ckpt.save_pytree(str(final), tree)  # same-path cleanup
+    assert not orphan.exists() and final.exists()
+
+    # prefix-level sweep (a step never re-reached): dead pid removed,
+    # live pid (ours) kept
+    (tmp_path / f"s_50.ckpt.tmp.{dead_pid}").write_bytes(b"partial")
+    live = tmp_path / f"s_60.ckpt.tmp.{os.getpid()}"
+    live.write_bytes(b"inflight")
+    removed = ckpt.prune_saved(str(tmp_path), "s", keep=5)
+    assert str(tmp_path / f"s_50.ckpt.tmp.{dead_pid}") in removed
+    assert live.exists()
+    live.unlink()
+
+
 def test_maybe_resume_auto_skips_corrupt_newest(tmp_path, capsys):
     """The CLI path end-to-end: --resume auto on a dir whose newest
     checkpoint is truncated restores the previous one."""

@@ -19,6 +19,19 @@ import pytest
 from eadgan_tpu.utils.watchdog import STALL_EXIT_CODE, Watchdog
 
 
+@pytest.fixture(autouse=True)
+def _restore_sigterm():
+    """supervise.main() installs a process-wide SIGTERM handler; the
+    in-process tests here must not leak it into the rest of the pytest
+    run (a CI timeout's SIGTERM would then raise SystemExit inside an
+    unrelated test instead of terminating)."""
+    import signal
+
+    before = signal.getsignal(signal.SIGTERM)
+    yield
+    signal.signal(signal.SIGTERM, before)
+
+
 def _wait_for(predicate, timeout=5.0):
     deadline = time.monotonic() + timeout
     while time.monotonic() < deadline:
@@ -446,3 +459,31 @@ def test_supervise_sigterm_kills_gang(tmp_path):
             break
         time.sleep(0.2)
     assert not alive, f"orphaned gang ranks survive the supervisor: {alive}"
+
+
+def test_launch_gang_kills_partial_gang_on_spawn_failure(monkeypatch):
+    """A Popen failure mid-gang (fork ENOMEM, a signal between spawns)
+    must not orphan the ranks already launched — they would keep
+    training and double-run against the next supervised launch."""
+    import subprocess as sp
+
+    from eadgan_tpu.cli import supervise
+
+    launched = []
+    real_popen = sp.Popen
+
+    def flaky_popen(cmd, env=None, **kw):
+        if len(launched) == 2:
+            raise OSError("spawn failed (injected)")
+        p = real_popen([sys.executable, "-c", "import time; time.sleep(3600)"])
+        launched.append(p)
+        return p
+
+    monkeypatch.setattr(supervise.subprocess, "Popen", flaky_popen)
+    with pytest.raises(OSError, match="injected"):
+        supervise._launch_gang(["whatever"], ranks=4)
+    assert len(launched) == 2
+    for p in launched:
+        assert _wait_for(lambda p=p: p.poll() is not None, timeout=15.0), (
+            "orphaned rank survived the failed gang launch"
+        )

@@ -55,17 +55,23 @@ def smooth(y, window: int):
 
 
 def throughput(steps, t, window: int = 50):
-    """steps/s over a trailing window of records; gaps from restarts or
-    event stalls show up as dips, which is the point."""
+    """steps/s over a trailing window of records; dips from event
+    stalls show up, which is the point.  MetricLogger's ``t`` is
+    relative to each LIFE's start (a supervised restart appends records
+    whose clock resets to ~0), so any window spanning a life boundary
+    would difference two unrelated clocks — boundaries are detected as
+    t decreasing in step order and such windows are dropped rather than
+    plotted as fabricated rates."""
     steps = np.asarray(steps, dtype=np.float64)
     t = np.asarray(t, dtype=np.float64)
     if len(steps) <= window:
         window = max(1, len(steps) - 1)
     if window < 1:
         return steps[:0], t[:0]
+    lives = np.concatenate([[0], np.cumsum(np.diff(t) < 0)])
     ds = steps[window:] - steps[:-window]
     dt = t[window:] - t[:-window]
-    ok = dt > 0
+    ok = (dt > 0) & (lives[window:] == lives[:-window])
     return steps[window:][ok], (ds[ok] / dt[ok])
 
 
