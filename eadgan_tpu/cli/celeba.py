@@ -15,7 +15,7 @@ import os
 
 import jax
 
-from eadgan_tpu.cli.common import add_adam_args, add_run_args, jit_generator_apply, maybe_resume, resolve_compute_dtype, run_epochs
+from eadgan_tpu.cli.common import add_adam_args, add_run_args, exit_if_preempted, jit_generator_apply, maybe_resume, resolve_compute_dtype, run_epochs, setup_preemption
 from eadgan_tpu.data import load_image_folder
 from eadgan_tpu.models import CelebaDiscriminator, CelebaGenerator
 from eadgan_tpu.ops import warp_affine
@@ -122,6 +122,17 @@ def main(argv=None) -> None:
                 keep=opt.keep_states,
             )
 
+    # Graceful preemption: SIGTERM finishes the in-flight window, saves
+    # a final train state at the exact current step, exits 86
+    # (utils/preempt.py; --resume auto continues with zero lost steps).
+    guard = setup_preemption(opt)
+
+    def on_shutdown(step_now, state):
+        save_train_state(
+            opt.ckpt_dir, "celeba_train_state", step_now, state,
+            keep=opt.keep_states,
+        )
+
     run_epochs(
         n_epochs=config.n_epochs,
         data=images,
@@ -144,7 +155,10 @@ def main(argv=None) -> None:
         chain_periods=(config.sample_interval, config.sample_interval * 15),
         step_body=step_body,
         watchdog=opt.watchdog,
+        stop_event=guard.requested if guard else None,
+        on_shutdown=on_shutdown,
     )
+    exit_if_preempted(guard)
 
 
 if __name__ == "__main__":

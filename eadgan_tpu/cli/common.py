@@ -60,7 +60,42 @@ __all__ = [
     "maybe_resume",
     "run_epochs",
     "jit_generator_apply",
+    "setup_preemption",
+    "exit_if_preempted",
 ]
+
+
+def setup_preemption(opt):
+    """Arm the graceful-preemption SIGTERM handler for a trainer CLI
+    (``--preempt_save on``, the default).  Returns the guard, or None
+    when disabled — pass ``stop_event=guard.requested if guard else
+    None`` into :func:`run_epochs` together with an ``on_shutdown``
+    final-save callback, and call :func:`exit_if_preempted` after the
+    run (utils/preempt.py has the full design)."""
+    if getattr(opt, "preempt_save", "on") != "on":
+        return None
+    from eadgan_tpu.utils.preempt import PreemptionGuard
+
+    return PreemptionGuard().install()
+
+
+def exit_if_preempted(guard) -> None:
+    """After :func:`run_epochs` returns: if the run stopped on a
+    preemption signal, exit with the distinct PREEMPT_EXIT_CODE (86) —
+    the schedule is INCOMPLETE, so exiting 0 would lie to supervisors
+    and shell scripts; 87 would mean "relaunch me" to cli.supervise."""
+    if guard is None or not guard.requested.is_set():
+        return
+    import sys
+
+    from eadgan_tpu.utils.preempt import PREEMPT_EXIT_CODE
+
+    print(
+        f"preemption save complete: exiting {PREEMPT_EXIT_CODE} "
+        "(continue later with --resume auto)",
+        flush=True,
+    )
+    sys.exit(PREEMPT_EXIT_CODE)
 
 
 def maybe_resume(state, resume: str, ckpt_dir: str, stem: str):
@@ -173,6 +208,18 @@ def add_run_args(parser: argparse.ArgumentParser) -> None:
         "all). Use >= 2 so --resume auto retains a fallback when the "
         "newest file is damaged. Reference-contract model files "
         "(generator_*.pt, checkpoint_*.tar, ...) are never pruned",
+    )
+    parser.add_argument(
+        "--preempt_save",
+        choices=["on", "off"],
+        default="on",
+        help="graceful preemption shutdown: on SIGTERM (the Cloud TPU "
+        "preemption/maintenance notice), finish the in-flight window, "
+        "save a final train-state checkpoint at the exact current step, "
+        "and exit 86 — --resume auto then continues with zero lost "
+        "steps. A second SIGTERM terminates immediately (the atomic "
+        "writer keeps that safe). 'off' restores the default "
+        "die-on-SIGTERM disposition",
     )
     parser.add_argument(
         "--watchdog",

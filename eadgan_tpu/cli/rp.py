@@ -18,7 +18,7 @@ import os
 import jax
 import jax.numpy as jnp
 
-from eadgan_tpu.cli.common import add_adam_args, add_run_args, jit_generator_apply, maybe_resume, resolve_compute_dtype, run_epochs
+from eadgan_tpu.cli.common import add_adam_args, add_run_args, exit_if_preempted, jit_generator_apply, maybe_resume, resolve_compute_dtype, run_epochs, setup_preemption
 from eadgan_tpu.data import load_dsprites
 from eadgan_tpu.models import (
     SpritesDiscriminator,
@@ -171,6 +171,16 @@ def main(argv=None, colored: bool = False) -> None:
                 keep=opt.keep_states,
             )
 
+    # Graceful preemption (utils/preempt.py): SIGTERM -> finish the
+    # in-flight window -> final train-state save -> exit 86.
+    guard = setup_preemption(opt)
+
+    def on_shutdown(step_now, state):
+        save_train_state(
+            opt.ckpt_dir, "rp_train_state", step_now, state,
+            keep=opt.keep_states,
+        )
+
     run_epochs(
         n_epochs=config.n_epochs,
         data=images,
@@ -196,7 +206,10 @@ def main(argv=None, colored: bool = False) -> None:
         chain_periods=(config.sample_interval * 2, save_every),
         step_body=step_body,
         watchdog=opt.watchdog,
+        stop_event=guard.requested if guard else None,
+        on_shutdown=on_shutdown,
     )
+    exit_if_preempted(guard)
 
 
 if __name__ == "__main__":

@@ -58,6 +58,8 @@ def run_epochs(
     chain_periods: tuple = (),
     step_body: Optional[Callable] = None,
     watchdog: float = 0.0,
+    stop_event=None,
+    on_shutdown: Optional[Callable] = None,
 ):
     """The reference's epoch/batch double loop with device prefetching.
 
@@ -79,6 +81,18 @@ def run_epochs(
     so those step indices land exactly at window ends, where the true
     post-step state exists — behavior is step-for-step identical to the
     per-dispatch engine (tests/test_chain.py pins it).
+
+    ``stop_event`` (a ``threading.Event``) requests a graceful early
+    stop: the engine finishes the in-flight dispatch — under chaining,
+    the whole window INCLUDING its event side effects — then returns at
+    that boundary instead of continuing the schedule.  ``on_shutdown
+    (step, state)`` then fires exactly once on the coordinator (after
+    every queued background event write has flushed, so a checkpoint it
+    writes is always the newest on disk — retention pruning anchors on
+    the newest written step).  The trainer CLIs wire ``stop_event`` to a
+    SIGTERM flag and ``on_shutdown`` to a final atomic train-state save:
+    graceful TPU-preemption shutdown with zero lost steps
+    (utils/preempt.py).
     """
     from eadgan_tpu.utils import trace
 
@@ -150,7 +164,7 @@ def run_epochs(
     try:
         with trace(profile_dir or None):
             if chain > 1 and step_body is not None:
-                return _run_epochs_chained(
+                state = _run_epochs_chained(
                     n_epochs=n_epochs, data=data, labels=labels,
                     batch_size=batch_size, state=state, step_body=step_body,
                     on_batch=on_batch, seed=seed, max_steps=max_steps,
@@ -160,14 +174,38 @@ def run_epochs(
                     chain=chain,
                     chain_periods=chain_periods, beat=beat, grace=grace,
                     clear_grace=clear_grace, verify_progress=wd is not None,
+                    stop_event=stop_event,
                 )
-            return _run_epochs_inner(
-                n_epochs=n_epochs, data=data, labels=labels, batch_size=batch_size,
-                state=state, step_fn=step_fn, on_batch=on_batch, seed=seed,
-                max_steps=max_steps, logger=logger, metric_keys=metric_keys,
-                scale=scale, shift=shift, random_flip=random_flip,
-                data_parallel=data_parallel, beat=beat,
-            )
+            else:
+                state = _run_epochs_inner(
+                    n_epochs=n_epochs, data=data, labels=labels,
+                    batch_size=batch_size,
+                    state=state, step_fn=step_fn, on_batch=on_batch, seed=seed,
+                    max_steps=max_steps, logger=logger, metric_keys=metric_keys,
+                    scale=scale, shift=shift, random_flip=random_flip,
+                    data_parallel=data_parallel, beat=beat,
+                    stop_event=stop_event,
+                )
+            if (
+                stop_event is not None
+                and stop_event.is_set()
+                and on_shutdown is not None
+                and is_coordinator()
+            ):
+                # The chained engine's own finally has already flushed
+                # the EventWorker (queued cadence checkpoint writes), so
+                # this save is strictly the newest — retention pruning
+                # (train/checkpoint.py::prune_saved) anchors correctly.
+                # The train state carries its own step counter; under
+                # chaining it equals the completed window's end.
+                final_step = int(jax.device_get(state.step))
+                print(
+                    "graceful shutdown: saving final train state at step "
+                    f"{final_step}",
+                    flush=True,
+                )
+                on_shutdown(final_step, state)
+            return state
     finally:
         if wd is not None:
             wd.stop()
@@ -178,7 +216,7 @@ def run_epochs(
 def _run_epochs_inner(
     *, n_epochs, data, labels, batch_size, state, step_fn, on_batch,
     seed, max_steps, logger, metric_keys, scale, shift, random_flip,
-    data_parallel, beat=lambda step: None,
+    data_parallel, beat=lambda step: None, stop_event=None,
 ):
     host_rng = np.random.default_rng(seed)
     # Dedicated stream for per-batch flip draws: ``place`` runs in the
@@ -249,6 +287,10 @@ def _run_epochs_inner(
                 on_batch(batches_done, state, metrics, batch)
                 batches_done += 1
                 beat(batches_done)
+                if stop_event is not None and stop_event.is_set():
+                    # graceful stop (preemption SIGTERM): this step's
+                    # side effects ran; run_epochs fires on_shutdown
+                    return state
                 if max_steps and batches_done - start_step >= max_steps:
                     return state
         finally:
@@ -262,6 +304,7 @@ def _run_epochs_chained(
     data_parallel, chain, chain_periods, zero_opt=False,
     beat=lambda step: None,
     grace=lambda: None, clear_grace=lambda: None, verify_progress=False,
+    stop_event=None,
 ):
     """In-graph multi-step engine: windows of up to ``chain`` steps run
     as one ``lax.scan`` program (train/chain.py).
@@ -403,6 +446,7 @@ def _run_epochs_chained(
     epoch = start_step // max(n_batches, 1)
     seen_sizes = set()  # window sizes this process has compiled
     grace_end = None  # end step of an in-flight freshly-compiled window
+    stopping = False  # graceful stop requested (stop_event observed)
     try:
         while epoch < n_epochs and (stop is None or batches_done < stop):
             perm = host_rng.permutation(data.shape[0])
@@ -569,11 +613,22 @@ def _run_epochs_chained(
                             "cb": round(t3 - t2, 6),
                         }) + "\n")
                         t_prev = t3
+                    if stop_event is not None and stop_event.is_set():
+                        # Graceful stop (preemption SIGTERM): this
+                        # window — including any event side effects it
+                        # just queued — is complete; stop at its
+                        # boundary.  The pending metrics drain below,
+                        # the EventWorker flushes in the finally, and
+                        # run_epochs fires on_shutdown with this state.
+                        stopping = True
+                        break
                 drain()
             finally:
                 iterator.close()
                 if trace is not None:
                     trace.close()
+            if stopping:
+                break
             epoch += 1
     finally:
         if worker is not None:
