@@ -20,7 +20,7 @@ from eadgan_tpu.data import load_image_folder
 from eadgan_tpu.models import CelebaDiscriminator, CelebaGenerator
 from eadgan_tpu.ops import warp_affine
 from eadgan_tpu.sample.figures import celeba_training_grids
-from eadgan_tpu.train.checkpoint import save_pytree, save_train_state
+from eadgan_tpu.train.checkpoint import save_pytree, save_train_state, save_train_state_sync
 from eadgan_tpu.train.config import CelebaConfig
 from eadgan_tpu.train.gan_celeba import init_celeba_gan_state, make_celeba_gan_step
 from eadgan_tpu.transforms import RPQXY, code_to_matrix
@@ -128,7 +128,10 @@ def main(argv=None) -> None:
     guard = setup_preemption(opt)
 
     def on_shutdown(step_now, state):
-        save_train_state(
+        # fires on EVERY process (engine stop contract): the _sync
+        # variant is collective-safe for ZeRO-sharded moments and holds
+        # ranks at a barrier until the coordinator's write completes
+        save_train_state_sync(
             opt.ckpt_dir, "celeba_train_state", step_now, state,
             keep=opt.keep_states,
         )

@@ -81,14 +81,31 @@ def setup_preemption(opt):
 
 def exit_if_preempted(guard) -> None:
     """After :func:`run_epochs` returns: if the run stopped on a
-    preemption signal, exit with the distinct PREEMPT_EXIT_CODE (86) —
-    the schedule is INCOMPLETE, so exiting 0 would lie to supervisors
-    and shell scripts; 87 would mean "relaunch me" to cli.supervise."""
+    preemption signal AND the schedule was actually cut short, exit
+    with the distinct PREEMPT_EXIT_CODE (86) — exiting 0 would lie to
+    supervisors and shell scripts; 87 would mean "relaunch me" to
+    cli.supervise.
+
+    The cut-short verdict comes from ``run_epochs`` (it sets
+    ``stop_event.cut_short``): a SIGTERM that lands on the final step —
+    or after the schedule already completed, in which case the engine
+    never observed it and the attribute is absent — exits 0, so
+    ``cli.supervise --restart_on_error`` does not relaunch a FINISHED
+    run and train unrequested extra steps (the trainers' ``--max_steps``
+    counts incrementally from the restored step)."""
     if guard is None or not guard.requested.is_set():
         return
     import sys
 
     from eadgan_tpu.utils.preempt import PREEMPT_EXIT_CODE
+
+    if not getattr(guard.requested, "cut_short", False):
+        print(
+            "preemption signal landed at/after schedule completion: the "
+            "run is COMPLETE, exiting 0 (no restart needed)",
+            flush=True,
+        )
+        return
 
     print(
         f"preemption save complete: exiting {PREEMPT_EXIT_CODE} "

@@ -26,7 +26,7 @@ from eadgan_tpu.models import (
 )
 from eadgan_tpu.ops import warp_affine
 from eadgan_tpu.sample.figures import mnist_training_grids
-from eadgan_tpu.train.checkpoint import restore_model, save_model, save_train_state
+from eadgan_tpu.train.checkpoint import restore_model, save_model, save_train_state, save_train_state_sync
 from eadgan_tpu.train.config import MnistConfig
 from eadgan_tpu.train.gan_mnist import init_mnist_gan_state, make_mnist_gan_step
 from eadgan_tpu.train.state import ModelVars
@@ -139,7 +139,10 @@ def main(argv=None) -> None:
     guard = setup_preemption(opt)
 
     def on_shutdown(step_now, state):
-        save_train_state(
+        # fires on EVERY process (engine stop contract): the _sync
+        # variant is collective-safe for ZeRO-sharded moments and holds
+        # ranks at a barrier until the coordinator's write completes
+        save_train_state_sync(
             opt.ckpt_dir, "mnist_train_state", step_now, state,
             keep=opt.keep_states,
         )

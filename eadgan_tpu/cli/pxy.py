@@ -20,7 +20,7 @@ from eadgan_tpu.data import load_dsprites
 from eadgan_tpu.models import SpritesEncoderPxy
 from eadgan_tpu.ops import warp_affine
 from eadgan_tpu.sample.figures import pxy_grids
-from eadgan_tpu.train.checkpoint import save_model, save_train_state
+from eadgan_tpu.train.checkpoint import save_model, save_train_state, save_train_state_sync
 from eadgan_tpu.train.config import PxyConfig
 from eadgan_tpu.train.pretrain import colorize, init_pxy_state, make_pxy_step
 from eadgan_tpu.train.state import apply_model
@@ -119,7 +119,10 @@ def main(argv=None, colored: bool = False) -> None:
     guard = setup_preemption(opt)
 
     def on_shutdown(step_now, state):
-        save_train_state(
+        # fires on EVERY process (engine stop contract): the _sync
+        # variant is collective-safe for ZeRO-sharded moments and holds
+        # ranks at a barrier until the coordinator's write completes
+        save_train_state_sync(
             opt.ckpt_dir, f"{stem}_train_state", step_now, state,
             keep=opt.keep_states,
         )

@@ -27,7 +27,7 @@ from eadgan_tpu.models import (
     SpritesGenerator,
 )
 from eadgan_tpu.sample.figures import sprites_training_grids
-from eadgan_tpu.train.checkpoint import save_model, save_train_state
+from eadgan_tpu.train.checkpoint import save_model, save_train_state, save_train_state_sync
 from eadgan_tpu.train.config import SpritesGanConfig
 from eadgan_tpu.train.gan_dsprites import (
     align_images,
@@ -176,7 +176,10 @@ def main(argv=None, colored: bool = False) -> None:
     guard = setup_preemption(opt)
 
     def on_shutdown(step_now, state):
-        save_train_state(
+        # fires on EVERY process (engine stop contract): the _sync
+        # variant is collective-safe for ZeRO-sharded moments and holds
+        # ranks at a barrier until the coordinator's write completes
+        save_train_state_sync(
             opt.ckpt_dir, "rp_train_state", step_now, state,
             keep=opt.keep_states,
         )

@@ -26,11 +26,36 @@ rejoined after a member dies).  Ranks in a distributed run fail
 COLLECTIVELY: one wedged rank parks every peer inside a Gloo/ICI
 collective forever, so the first rank to exit nonzero (its own watchdog
 firing 87, or a collective timeout) condemns the whole gang — the
-supervisor kills the survivors (SIGTERM, then SIGKILL after 10 s; a
+supervisor kills the survivors (SIGTERM, then SIGKILL after 2 s; a
 rank parked in foreign code ignores nothing at SIGKILL) and relaunches
 ALL ranks with ``--resume auto``.  Drilled end-to-end with an injected
 single-rank hang under ``tools/multiprocess_drive.py --gang_drill``
 (evidence/drill_r4_gang/).
+
+Gang preemption semantics (drilled by tools/gang_preempt_drill.py,
+MULTIHOST_GANG_PREEMPT.json):
+
+* **SIGTERM to the supervisor** (host eviction): it fans out SIGTERM
+  with the graceful 30 s ladder; every rank's PreemptionGuard finishes
+  the in-flight dispatch, the gang agrees on ONE stop boundary
+  (``parallel.any_process_flag`` — a rank stopping alone would park its
+  peers in a step collective), writes ONE collective final checkpoint
+  (``checkpoint.save_train_state_sync``: barrier holds ranks until the
+  coordinator's write lands), and exits 86.  The supervisor exits 143.
+* **SIGTERM to a single rank** (per-VM preemption notice): the signaled
+  rank's flag propagates through the same stop consensus — the WHOLE
+  gang saves at the same boundary and exits 86.  ``_reap_gang`` treats
+  a first exit of 86 as this gang-wide graceful stop: peers get a grace
+  window to finish their own exits (not a kill), and 86 propagates as
+  the supervisor's exit code.  By default the supervisor then gives up
+  (the host is going away; relaunching on it is futile) —
+  ``--restart_on_error`` opts into relaunch-with-resume for
+  merely-transient SIGTERMs, with zero lost steps.
+* **Condemnation after a rank FAILURE** (watchdog 87, crash) is
+  different: survivors are parked in a collective their dead peer will
+  never join, and the collective final save is equally impossible — the
+  teardown ladder is fast (SIGTERM, 2 s, SIGKILL) and recovery is the
+  relaunch-from-last-cadence-save path (evidence/drill_r4_gang/).
 
 The reference has no counterpart: a crash mid-schedule loses the run
 entirely (SURVEY.md section 5 — checkpoints are save-only, nothing ever
@@ -125,16 +150,35 @@ def _launch_gang(cmd, ranks):
     return procs
 
 
-def _kill_gang(procs) -> None:
-    """Terminate every still-running rank: SIGTERM, 10 s, then SIGKILL.
+def _kill_gang(procs, grace: float = 2.0) -> None:
+    """Terminate every still-running rank: SIGTERM, ``grace`` s, SIGKILL.
 
-    A wedged rank's main thread is parked in foreign code (the exact
-    failure the watchdog exists for) — SIGTERM's default disposition
-    still ends the process, and SIGKILL is unconditional."""
+    Two ladders, chosen by the caller:
+
+    * **fast** (``grace=2.0``, the default) — condemnation teardown
+      after a rank failed.  Survivors are typically parked in a
+      collective their dead peer will never join; with ``--preempt_save
+      on`` (the trainers' default) their SIGTERM handler only sets a
+      flag that a parked main thread can never poll, so waiting longer
+      buys nothing — SIGKILL promptly.  A gang-wide graceful save is
+      impossible here anyway: the final save is itself a collective
+      (checkpoint.save_train_state_sync) that the dead rank cannot
+      join; recovery is the drilled restart-from-last-cadence-save path.
+    * **graceful** (``grace=30.0``) — the supervisor itself received
+      SIGTERM (host preemption/eviction).  Every rank is healthy: the
+      SIGTERM fans out, each rank's PreemptionGuard finishes the
+      in-flight window, the gang agrees on the stop boundary
+      (parallel.any_process_flag), saves ONE final collective
+      checkpoint, and exits 86 — the grace must cover a window plus the
+      final save (~5 s for CelebA through the tunnel).
+
+    SIGKILL is always safe: checkpoint writes are atomic
+    (train/checkpoint.py), so a kill mid-save leaves the previous
+    complete file, never a truncation."""
     for p in procs:
         if p.poll() is None:
             p.terminate()
-    deadline = time.monotonic() + 10.0
+    deadline = time.monotonic() + grace
     for p in procs:
         if p.poll() is not None:
             continue
@@ -150,9 +194,21 @@ def _reap_gang(procs) -> int:
 
     A rank finishing early with 0 while peers still run is normal (it
     had less tail work); the gang is only condemned by a nonzero exit —
-    then the survivors are killed (they are parked in a collective that
-    can never complete) and that first nonzero code is returned.
-    """
+    then the survivors are killed fast (they are parked in a collective
+    that can never complete) and that first nonzero code is returned.
+
+    Exception: the first nonzero being PREEMPT_EXIT_CODE (86) means a
+    gang-synchronized graceful preemption — every rank agreed on the
+    stop boundary, the collective final save already completed behind
+    its barrier, and the peers are in the middle of their OWN graceful
+    exits.  They get a grace window to finish exiting 86 on their own
+    (killing them would only add noise); stragglers are then torn down
+    and 86 propagates, so the supervisor treats the whole gang as
+    preempted (give up by default — the host is going away;
+    ``--restart_on_error`` opts into relaunch-with-resume for
+    transient SIGTERMs)."""
+    from eadgan_tpu.utils.preempt import PREEMPT_EXIT_CODE
+
     live = list(procs)
     while live:
         for p in list(live):
@@ -161,6 +217,15 @@ def _reap_gang(procs) -> int:
                 continue
             live.remove(p)
             if rc != 0:
+                if rc == PREEMPT_EXIT_CODE:
+                    deadline = time.monotonic() + 30.0
+                    for q in live:
+                        try:
+                            q.wait(
+                                timeout=max(0.0, deadline - time.monotonic())
+                            )
+                        except subprocess.TimeoutExpired:
+                            pass
                 _kill_gang(live)
                 return rc
         if live:
@@ -228,12 +293,20 @@ def main(argv=None) -> None:
         procs = _launch_gang(cmd, opt.ranks)
         try:
             rc = _reap_gang(procs)
-        except BaseException:
+        except BaseException as exc:
             # The supervisor itself is dying (Ctrl-C, SIGTERM via
-            # KeyboardInterrupt/SystemExit, unexpected error).  Take the
-            # gang down with us: orphaned ranks would keep training and
-            # then double-run against the next supervised launch.
-            _kill_gang(procs)
+            # SystemExit, unexpected error).  Take the gang down with
+            # us: orphaned ranks would keep training and then
+            # double-run against the next supervised launch.  A
+            # supervisor-level SIGTERM is host preemption: fan it out
+            # with the GRACEFUL ladder so every rank finishes its
+            # window, joins the collective final save, and exits 86
+            # (see _kill_gang); any other death tears down fast.
+            preempted = (
+                isinstance(exc, SystemExit)
+                and exc.code == 128 + signal.SIGTERM
+            )
+            _kill_gang(procs, grace=30.0 if preempted else 2.0)
             raise
         if rc == 0:
             print(f"supervise: trainer finished cleanly after {restarts} restart(s)")

@@ -26,6 +26,7 @@ from eadgan_tpu.parallel.zero import (
     zero_spec,
 )
 from eadgan_tpu.parallel.multihost import (
+    any_process_flag,
     global_batch_from_host,
     host_barrier,
     is_coordinator,
@@ -36,6 +37,7 @@ from eadgan_tpu.parallel.multihost import (
 )
 
 __all__ = [
+    "any_process_flag",
     "default_mesh",
     "batch_spec",
     "shard_batch",

@@ -30,6 +30,7 @@ from eadgan_tpu.parallel.mesh import batch_spec
 from jax.sharding import NamedSharding
 
 __all__ = [
+    "any_process_flag",
     "initialize",
     "host_batch_slice",
     "global_batch_from_host",
@@ -179,6 +180,31 @@ def save_on_coordinator(path: str, tree) -> None:
     if is_coordinator():
         save_pytree(path, jax.device_get(host_tree))
     sync("ckpt:" + path)
+
+
+def any_process_flag(flag: bool) -> bool:
+    """Cross-process OR of a host-side boolean — the stop-consensus
+    primitive for gang-synchronized graceful preemption.
+
+    Every process calls this at the same loop boundary with its LOCAL
+    flag (e.g. "my SIGTERM handler fired"); all processes receive the
+    same global answer, so a gang whose step program contains data-axis
+    collectives agrees on ONE boundary to stop at — without agreement,
+    a rank stopping early would park its peers in a collective that can
+    never complete (the jax ``reached_preemption_sync_point`` pattern).
+    The call is itself a collective (``process_allgather`` of one int32)
+    and MUST be dispatched by every process the same number of times at
+    the same points.  Single-process it degenerates to ``bool(flag)``
+    with no device work.
+    """
+    if jax.process_count() <= 1:
+        return bool(flag)
+    from jax.experimental import multihost_utils
+
+    got = multihost_utils.process_allgather(
+        np.asarray([1 if flag else 0], np.int32)
+    )
+    return bool(np.asarray(got).max() > 0)
 
 
 def host_barrier(tag: str = "eadgan", timeout_s: int = 1800) -> None:

@@ -47,6 +47,7 @@ __all__ = [
     "restore_latest",
     "prune_saved",
     "save_train_state",
+    "save_train_state_sync",
 ]
 
 
@@ -251,6 +252,37 @@ def save_train_state(
     path = os.path.join(ckpt_dir, f"{stem}_{step}.ckpt")
     save_pytree(path, state)
     prune_saved(ckpt_dir, stem, keep, current_step=step)
+    return path
+
+
+def save_train_state_sync(
+    ckpt_dir: str, stem: str, step: int, state: Any, keep: int = 0
+) -> str:
+    """Multi-process-safe :func:`save_train_state`: EVERY process must
+    call it (it is a collective when ``jax.process_count() > 1``).
+
+    Leaves sharded across processes (ZeRO-1 moments, parallel/zero.py)
+    are assembled with a symmetric ``process_allgather`` and the write
+    happens on the coordinator behind a barrier that keeps the other
+    ranks alive until the file is complete
+    (``parallel.save_on_coordinator``).  This is what a graceful-
+    preemption ``on_shutdown`` callback should use: the engine fires it
+    on every rank (train/engine.py's multi-process stop contract), so
+    the collective is dispatched symmetrically.  Single-process it is
+    identical to :func:`save_train_state`.  Cadence saves issued from
+    ``on_batch`` must keep using :func:`save_train_state` instead — the
+    engine no-ops ``on_batch`` on non-coordinator ranks, so a
+    collective there would deadlock."""
+    import jax
+
+    if jax.process_count() <= 1:
+        return save_train_state(ckpt_dir, stem, step, state, keep=keep)
+    from eadgan_tpu.parallel import is_coordinator, save_on_coordinator
+
+    path = os.path.join(ckpt_dir, f"{stem}_{step}.ckpt")
+    save_on_coordinator(path, state)
+    if is_coordinator():
+        prune_saved(ckpt_dir, stem, keep, current_step=step)
     return path
 
 

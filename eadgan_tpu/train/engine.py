@@ -35,6 +35,33 @@ from eadgan_tpu.utils import MetricLogger
 __all__ = ["run_epochs", "jit_generator_apply"]
 
 
+class _GangStopView:
+    """Synchronized view of a stop flag for multi-process runs.
+
+    ``is_set()`` cross-process ORs the wrapped event's local flag
+    (``parallel.any_process_flag`` — itself a collective, so every rank
+    must call it at the same boundaries, which the engines guarantee by
+    polling exactly once per dispatch).  When the gang agrees to stop,
+    the LOCAL event is set on every rank too, so downstream local
+    consumers (``cli.common.exit_if_preempted``) see one gang-wide
+    decision — every rank saves and exits 86, not just the signaled
+    ones."""
+
+    def __init__(self, event):
+        self._event = event
+
+    def is_set(self) -> bool:
+        from eadgan_tpu.parallel import any_process_flag
+
+        if any_process_flag(self._event.is_set()):
+            self._event.set()
+            return True
+        return False
+
+    def set(self) -> None:
+        self._event.set()
+
+
 def run_epochs(
     *,
     n_epochs: int,
@@ -86,13 +113,34 @@ def run_epochs(
     stop: the engine finishes the in-flight dispatch — under chaining,
     the whole window INCLUDING its event side effects — then returns at
     that boundary instead of continuing the schedule.  ``on_shutdown
-    (step, state)`` then fires exactly once on the coordinator (after
-    every queued background event write has flushed, so a checkpoint it
+    (step, state)`` then fires exactly once per process (after every
+    queued background event write has flushed, so a checkpoint it
     writes is always the newest on disk — retention pruning anchors on
     the newest written step).  The trainer CLIs wire ``stop_event`` to a
     SIGTERM flag and ``on_shutdown`` to a final atomic train-state save:
     graceful TPU-preemption shutdown with zero lost steps
     (utils/preempt.py).
+
+    Multi-process stop contract (``jax.process_count() > 1``): the stop
+    decision is SYNCHRONIZED — each boundary check cross-process ORs the
+    local flags (``parallel.any_process_flag``), so a SIGTERM delivered
+    to ANY subset of ranks stops every rank at the SAME window boundary
+    (a rank stopping alone would park its peers in a step collective
+    forever).  When the gang stops, the local ``stop_event`` is set on
+    every rank (so ``exit_if_preempted`` exits 86 gang-wide) and
+    ``on_shutdown`` fires on EVERY process, not just the coordinator —
+    a final save must route through a symmetric collective writer
+    (``checkpoint.save_train_state_sync`` / ``parallel.
+    save_on_coordinator``: ZeRO-sharded moments need a cross-process
+    allgather, and its barrier keeps non-writing ranks alive until the
+    coordinator's write completes).  Coordinator-gated plain writes
+    would either lose the sharded moment leaves or deadlock the
+    barrier.
+
+    After the run, ``stop_event.cut_short`` is set to whether the stop
+    actually cut the schedule short (True) or the signal landed on the
+    final step of an already-complete schedule (False) —
+    ``cli.common.exit_if_preempted`` exits 86 only when work remains.
     """
     from eadgan_tpu.utils import trace
 
@@ -119,6 +167,28 @@ def run_epochs(
     if not is_coordinator():
         on_batch = lambda *a, **k: None  # noqa: E731
         logger = None
+
+    # Schedule extent, for the cut_short verdict below: did a graceful
+    # stop actually lose work, or did the signal land on a schedule that
+    # finished anyway?  (state.step is still the host/pre-replication
+    # value here — the engines replicate internally.)
+    n_batches_sched = data.shape[0] // batch_size
+    start_step_sched = int(jax.device_get(state.step))
+    total_sched = n_epochs * n_batches_sched
+    planned_end = (
+        min(total_sched, start_step_sched + max_steps)
+        if max_steps
+        else total_sched
+    )
+
+    # Gang-synchronized stop: with >1 process the engines poll a view
+    # whose is_set() cross-process ORs the local flags at each boundary
+    # — one collective per window (per step on the per-dispatch engine),
+    # dispatched in lockstep because every rank runs the identical
+    # schedule.  See the docstring's multi-process stop contract.
+    local_stop = stop_event
+    if stop_event is not None and jax.process_count() > 1:
+        stop_event = _GangStopView(local_stop)
 
     # Stall watchdog (``--watchdog N``): a heartbeat lands after every
     # completed dispatch below; a daemon thread hard-exits the process
@@ -186,25 +256,32 @@ def run_epochs(
                     data_parallel=data_parallel, beat=beat,
                     stop_event=stop_event,
                 )
-            if (
-                stop_event is not None
-                and stop_event.is_set()
-                and on_shutdown is not None
-                and is_coordinator()
-            ):
-                # The chained engine's own finally has already flushed
-                # the EventWorker (queued cadence checkpoint writes), so
-                # this save is strictly the newest — retention pruning
-                # (train/checkpoint.py::prune_saved) anchors correctly.
-                # The train state carries its own step counter; under
-                # chaining it equals the completed window's end.
+            # NOTE: stop_event.is_set() below is one more synchronized
+            # collective in the multi-process case — every rank reaches
+            # this exact check once, so dispatch stays symmetric.
+            if stop_event is not None and stop_event.is_set():
                 final_step = int(jax.device_get(state.step))
-                print(
-                    "graceful shutdown: saving final train state at step "
-                    f"{final_step}",
-                    flush=True,
-                )
-                on_shutdown(final_step, state)
+                if local_stop is not None:
+                    # the verdict exit_if_preempted gates the 86 exit on:
+                    # did the stop actually cut the schedule short?
+                    local_stop.cut_short = final_step < planned_end
+                if on_shutdown is not None:
+                    # The chained engine's own finally has already
+                    # flushed the EventWorker (queued cadence checkpoint
+                    # writes), so this save is strictly the newest —
+                    # retention pruning (train/checkpoint.py::
+                    # prune_saved) anchors correctly.  The train state
+                    # carries its own step counter; under chaining it
+                    # equals the completed window's end.  Fires on EVERY
+                    # process: a multi-process final save is a
+                    # collective (see the docstring's stop contract).
+                    if is_coordinator():
+                        print(
+                            "graceful shutdown: saving final train "
+                            f"state at step {final_step}",
+                            flush=True,
+                        )
+                    on_shutdown(final_step, state)
             return state
     finally:
         if wd is not None:

@@ -40,7 +40,6 @@ from __future__ import annotations
 
 import os
 import signal
-import sys
 import threading
 
 __all__ = ["PreemptionGuard", "PREEMPT_EXIT_CODE"]
@@ -79,15 +78,27 @@ class PreemptionGuard:
             os.kill(os.getpid(), signum)
             return
         self.requested.set()
-        # CPython runs handlers between bytecodes on the main thread, so
-        # print is safe here (not a true async context).
-        print(
-            f"preemption: caught signal {signum}; finishing the in-flight "
-            "window, saving a final checkpoint, then exiting "
-            f"{PREEMPT_EXIT_CODE} (send again to terminate immediately)",
-            file=sys.stderr,
-            flush=True,
-        )
+        # The flag is set FIRST: the graceful path survives even if the
+        # diagnostic below fails.  os.write(2, ...) instead of print():
+        # CPython runs this handler between bytecodes, which can be in
+        # the middle of another buffered write to the same stderr stream
+        # (watchdog diagnostics, warnings) — print() would then raise
+        # "reentrant call inside BufferedWriter" at an arbitrary
+        # bytecode in the main thread, aborting the run without the
+        # graceful save this handler exists to guarantee.  os.write is
+        # async-signal-safe (unbuffered fd write).
+        try:
+            os.write(
+                2,
+                (
+                    f"preemption: caught signal {signum}; finishing the "
+                    "in-flight window, saving a final checkpoint, then "
+                    f"exiting {PREEMPT_EXIT_CODE} (send again to "
+                    "terminate immediately)\n"
+                ).encode(),
+            )
+        except OSError:
+            pass
 
     # -- lifecycle -----------------------------------------------------------
     def install(self, signals=(signal.SIGTERM,)) -> "PreemptionGuard":

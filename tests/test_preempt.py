@@ -7,7 +7,8 @@ resume even that (SURVEY.md section 5).  Here SIGTERM must finish the
 in-flight window, write ONE final atomic train-state checkpoint at the
 exact current step, and exit with PREEMPT_EXIT_CODE (86) so
 ``--resume auto`` continues with zero lost steps.  The real-chip drill
-lives in evidence/drill_r4_preempt/.
+lives in evidence/drill_r5_preempt/; the multi-process gang drill in
+evidence/drill_r5_gang_preempt/ (MULTIHOST_GANG_PREEMPT.json).
 """
 
 import json
@@ -42,7 +43,11 @@ def _restore_sigterm():
 # ---------------------------------------------------------------- guard
 
 
-def test_guard_sets_event_on_sigterm_and_uninstalls(capsys):
+def test_guard_sets_event_on_sigterm_and_uninstalls(capfd):
+    # capfd, not capsys: the handler writes with async-signal-safe
+    # os.write(2, ...) — a raw fd write that bypasses sys.stderr (a
+    # print() there can hit CPython's reentrant-BufferedWriter error
+    # when the signal interrupts another stderr write, ADVICE r4)
     guard = PreemptionGuard().install()
     assert not guard.requested.is_set()
     os.kill(os.getpid(), signal.SIGTERM)
@@ -51,7 +56,7 @@ def test_guard_sets_event_on_sigterm_and_uninstalls(capsys):
     while not guard.requested.is_set() and time.monotonic() < deadline:
         time.sleep(0.01)
     assert guard.requested.is_set()
-    assert "preemption: caught signal" in capsys.readouterr().err
+    assert "preemption: caught signal" in capfd.readouterr().err
     guard.uninstall()
     assert guard._installed == {}
 
@@ -219,13 +224,115 @@ def test_engine_stop_event_already_set_saves_after_first_dispatch():
     assert int(jax.device_get(out.step)) >= 1
 
 
+# ----------------------------------------------- cut_short verdict
+
+
+@pytest.mark.parametrize("chain", [1, 4])
+def test_cut_short_true_when_stop_loses_work(chain, monkeypatch):
+    """A stop observed mid-schedule sets stop_event.cut_short=True —
+    exit_if_preempted must exit 86 (work remains)."""
+    import threading
+
+    monkeypatch.setenv("EADGAN_SYNC_EVENTS", "1")
+    state, step_body, data = _toy_setup()
+    stop = threading.Event()
+
+    def on_batch(batches_done, state, metrics, batch):
+        if batches_done >= 2:
+            stop.set()
+
+    run_epochs(
+        n_epochs=4, data=data, labels=None, batch_size=8, state=state,
+        step_fn=jax.jit(step_body), on_batch=on_batch, chain=chain,
+        chain_periods=(1,) if chain > 1 else (),
+        step_body=step_body if chain > 1 else None,
+        stop_event=stop, on_shutdown=lambda s, st: None,
+    )
+    assert stop.cut_short is True
+
+
+@pytest.mark.parametrize("chain", [1, 4])
+def test_cut_short_false_when_schedule_completed(chain, monkeypatch):
+    """A SIGTERM landing during the FINAL dispatch must not condemn the
+    run: the schedule finished, cut_short=False, and exit_if_preempted
+    exits 0 — otherwise cli.supervise --restart_on_error would relaunch
+    a finished run and (--max_steps being incremental) train N
+    unrequested extra steps (ADVICE r4)."""
+    import threading
+
+    monkeypatch.setenv("EADGAN_SYNC_EVENTS", "1")
+    state, step_body, data = _toy_setup()
+    stop = threading.Event()
+    max_steps = 6
+
+    def on_batch(batches_done, state, metrics, batch):
+        if batches_done >= max_steps - 1:
+            stop.set()  # lands on the final step of the schedule
+
+    out = run_epochs(
+        n_epochs=4, data=data, labels=None, batch_size=8, state=state,
+        step_fn=jax.jit(step_body), on_batch=on_batch, chain=chain,
+        chain_periods=(1,) if chain > 1 else (),
+        step_body=step_body if chain > 1 else None,
+        max_steps=max_steps,
+        stop_event=stop, on_shutdown=lambda s, st: None,
+    )
+    assert int(jax.device_get(out.step)) == max_steps
+    assert stop.cut_short is False
+
+
+def test_exit_if_preempted_gates_on_cut_short(capsys):
+    from eadgan_tpu.cli.common import exit_if_preempted
+
+    # flag never set: plain return
+    exit_if_preempted(PreemptionGuard())
+
+    # cut short mid-schedule: exit 86
+    guard = PreemptionGuard()
+    guard.requested.set()
+    guard.requested.cut_short = True
+    with pytest.raises(SystemExit) as e:
+        exit_if_preempted(guard)
+    assert e.value.code == PREEMPT_EXIT_CODE
+
+    # signal landed on the final step: schedule complete, exit 0
+    guard2 = PreemptionGuard()
+    guard2.requested.set()
+    guard2.requested.cut_short = False
+    exit_if_preempted(guard2)  # returns instead of raising
+    assert "COMPLETE" in capsys.readouterr().out
+
+    # attribute absent = the engine never observed the stop (the signal
+    # landed after run_epochs returned, schedule done): exit 0
+    guard3 = PreemptionGuard()
+    guard3.requested.set()
+    exit_if_preempted(guard3)
+
+
+def test_save_train_state_sync_single_process_identical(tmp_path):
+    """save_train_state_sync (what on_shutdown uses — collective-safe
+    in gangs) degenerates to the plain saver single-process."""
+    from eadgan_tpu.train.checkpoint import (
+        restore_pytree,
+        save_train_state_sync,
+        saved_steps,
+    )
+
+    state = ToyState(w=jnp.arange(4.0), step=jnp.asarray(7, jnp.int32))
+    path = save_train_state_sync(str(tmp_path), "toy_train_state", 7, state)
+    assert os.path.basename(path) == "toy_train_state_7.ckpt"
+    assert saved_steps(str(tmp_path), "toy_train_state") == [7]
+    back = restore_pytree(path, ToyState(w=jnp.zeros(4), step=jnp.zeros((), jnp.int32)))
+    np.testing.assert_array_equal(np.asarray(back.w), np.arange(4.0))
+
+
 # --------------------------------------------- end-to-end CLI semantics
 #
 # A stub trainer built from the REAL parts (PreemptionGuard +
 # run_epochs + save_train_state + restore_latest) proves the full
 # SIGTERM -> finish window -> atomic save -> exit 86 -> --resume auto
 # chain in a subprocess, without a GAN compile.  The real-trainer drill
-# on the TPU chip is evidence/drill_r4_preempt/.
+# on the TPU chip is evidence/drill_r5_preempt/.
 
 STUB = textwrap.dedent(
     """

@@ -293,6 +293,7 @@ def gang_worker(opt) -> None:
     import numpy as np
 
     from eadgan_tpu.parallel import (
+        any_process_flag,
         default_mesh,
         global_batch_from_host,
         host_barrier,
@@ -301,7 +302,21 @@ def gang_worker(opt) -> None:
         save_on_coordinator,
     )
     from eadgan_tpu.train.checkpoint import restore_latest
+    from eadgan_tpu.utils.preempt import PREEMPT_EXIT_CODE, PreemptionGuard
     from eadgan_tpu.utils.watchdog import Watchdog
+
+    # Graceful gang preemption (drilled by tools/gang_preempt_drill.py):
+    # SIGTERM to any subset of ranks — or to the supervisor, which fans
+    # it out — sets the local flag; the per-step any_process_flag
+    # consensus below stops EVERY rank at the same step boundary, one
+    # collective final save runs, and all ranks exit 86.  The pidfile
+    # lets the drill target an individual rank.
+    guard = PreemptionGuard().install()
+    with open(
+        os.path.join(opt.ckpt_dir, f"rank_{os.environ.get('EADGAN_MP_PROCESS_ID', '0')}.pid"),
+        "w",
+    ) as f:
+        f.write(str(os.getpid()))
 
     state, step, place, batch_shape = _PIPELINES[opt.pipeline]()
     mesh = default_mesh()
@@ -348,6 +363,7 @@ def gang_worker(opt) -> None:
     jsonl = open(os.path.join(opt.ckpt_dir, "metrics.jsonl"), "a") if (
         is_coordinator()
     ) else None
+    preempted_at = None
     try:
         for i in range(start, opt.steps):
             full = batch if i % 2 == 0 else batch[::-1]  # deterministic per step
@@ -373,11 +389,33 @@ def gang_worker(opt) -> None:
                 save_on_coordinator(
                     os.path.join(opt.ckpt_dir, f"train_state_{done}.ckpt"), state
                 )
+            # Stop consensus, one collective per step: symmetric across
+            # ranks, so a flag raised on ANY rank stops the whole gang
+            # at THIS boundary (engine.run_epochs polls the same
+            # primitive per window; here the loop is per-step).
+            if any_process_flag(guard.requested.is_set()):
+                guard.requested.set()
+                save_on_coordinator(
+                    os.path.join(opt.ckpt_dir, f"train_state_{done}.ckpt"),
+                    state,
+                )
+                print(
+                    f"gang_worker rank {jax.process_index()}: preempted, "
+                    f"saved final train state at step {done}, exiting "
+                    f"{PREEMPT_EXIT_CODE}",
+                    flush=True,
+                )
+                preempted_at = done
+                break
     finally:
         if jsonl is not None:
             jsonl.close()
     if wd is not None:
         wd.stop()
+    if preempted_at is not None and preempted_at < opt.steps:
+        # cut short (same verdict cli.common.exit_if_preempted applies):
+        # a signal landing on the final step leaves the run COMPLETE
+        sys.exit(PREEMPT_EXIT_CODE)
     print(
         f"gang_worker rank {jax.process_index()}: done at step {opt.steps}",
         flush=True,

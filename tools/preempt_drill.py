@@ -20,7 +20,7 @@ delivers — and verifies:
     ``--tail`` steps cleanly with zero non-finite metrics.
 
 Writes a one-file JSON report plus the raw logs into ``--workdir``;
-evidence/drill_r4_preempt/ holds a committed run from the real chip.
+evidence/drill_r5_preempt/ holds a committed run from the real chip.
 """
 
 from __future__ import annotations
