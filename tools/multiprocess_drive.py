@@ -389,6 +389,13 @@ def gang_worker(opt) -> None:
                 save_on_coordinator(
                     os.path.join(opt.ckpt_dir, f"train_state_{done}.ckpt"), state
                 )
+                if opt.keep and is_coordinator():
+                    from eadgan_tpu.train.checkpoint import prune_saved
+
+                    prune_saved(
+                        opt.ckpt_dir, "train_state", opt.keep,
+                        current_step=done,
+                    )
             # Stop consensus, one collective per step: symmetric across
             # ranks, so a flag raised on ANY rank stops the whole gang
             # at THIS boundary (engine.run_epochs polls the same
@@ -399,6 +406,13 @@ def gang_worker(opt) -> None:
                     os.path.join(opt.ckpt_dir, f"train_state_{done}.ckpt"),
                     state,
                 )
+                if opt.keep and is_coordinator():
+                    from eadgan_tpu.train.checkpoint import prune_saved
+
+                    prune_saved(
+                        opt.ckpt_dir, "train_state", opt.keep,
+                        current_step=done,
+                    )
                 print(
                     f"gang_worker rank {jax.process_index()}: preempted, "
                     f"saved final train state at step {done}, exiting "
@@ -754,6 +768,11 @@ def main(argv=None) -> int:
     parser.add_argument(
         "--hang_step", type=int, default=25,
         help="gang drill: step at which rank 1 wedges",
+    )
+    parser.add_argument(
+        "--keep", type=int, default=0,
+        help="gang mode: --keep_states retention for train_state_*.ckpt "
+        "(coordinator prunes after each cadence save; 0 = keep all)",
     )
     opt = parser.parse_args(argv)
     if opt.gang_worker:
