@@ -30,10 +30,18 @@ Signal-channel separation (each failure class has its own mechanism):
 
 A second SIGTERM escalates: the handler restores the default
 disposition and re-delivers, so an impatient operator — or a
-supervisor's SIGTERM -> 10 s -> SIGKILL ladder hitting a slow save —
-still terminates promptly.  That is always safe: checkpoint writes are
-atomic (train/checkpoint.py), so a kill landing inside the final save
-leaves the previous complete checkpoint, never a truncation.
+supervisor's kill ladder hitting a slow save — still terminates
+promptly.  That is always safe: checkpoint writes are atomic
+(train/checkpoint.py), so a kill landing inside the final save leaves
+the previous complete checkpoint, never a truncation.
+
+Multi-process gangs: the guard's flag is only the LOCAL input — the
+engines synchronize the stop decision across ranks each window
+(``parallel.any_process_flag``) so the whole gang stops at one
+boundary and writes one collective final checkpoint
+(``train/engine.py`` multi-process stop contract;
+``cli/supervise.py`` documents the gang semantics; drilled in
+MULTIHOST_GANG_PREEMPT.json).
 """
 
 from __future__ import annotations
