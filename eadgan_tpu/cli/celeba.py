@@ -15,7 +15,7 @@ import os
 
 import jax
 
-from eadgan_tpu.cli.common import add_adam_args, add_run_args, exit_if_preempted, jit_generator_apply, maybe_resume, resolve_compute_dtype, run_epochs, setup_preemption
+from eadgan_tpu.cli.common import add_adam_args, add_run_args, init_multiprocess, exit_if_preempted, jit_generator_apply, maybe_resume, resolve_compute_dtype, run_epochs, setup_preemption
 from eadgan_tpu.data import load_image_folder
 from eadgan_tpu.models import CelebaDiscriminator, CelebaGenerator
 from eadgan_tpu.ops import warp_affine
@@ -41,6 +41,9 @@ def main(argv=None) -> None:
     parser.add_argument("--max_images", type=int, default=0, help="cap dataset size (0 = all)")
     add_run_args(parser)
     opt = parser.parse_args(argv)
+    # Join a supervised gang (cli.supervise --ranks N) before any jax
+    # device use; validates --data_parallel/--zero_opt gang rules.
+    init_multiprocess(opt)
     print(opt)
 
     config = CelebaConfig(

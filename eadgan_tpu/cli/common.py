@@ -57,12 +57,65 @@ from eadgan_tpu.train.engine import jit_generator_apply, run_epochs  # noqa: E40
 __all__ = [
     "add_adam_args",
     "add_run_args",
+    "init_multiprocess",
     "maybe_resume",
     "run_epochs",
     "jit_generator_apply",
     "setup_preemption",
     "exit_if_preempted",
 ]
+
+
+def init_multiprocess(opt) -> None:
+    """Join a multi-process gang when one is configured; no-op otherwise.
+
+    ``cli.supervise --ranks N <trainer>`` injects the ``EADGAN_MP_*``
+    rank triple (and a cluster scheduler can set the standard
+    coordinator env instead) — ``parallel.initialize()`` reads either
+    and wires ``jax.distributed``, after which the trainer's mesh spans
+    every process's devices, batches placed by ``shard_batch`` /
+    ``shard_window`` are global (each process contributes its
+    addressable slice of the identical host batch — all ranks compute
+    the same batches from the same ``--seed``), side effects run on the
+    coordinator only (the engine gates ``on_batch``/logging), the
+    graceful-preemption stop is gang-synchronized, and the final save
+    is collective (train/engine.py multi-process stop contract).
+    Drilled end-to-end: MULTIHOST_CLI.json.
+
+    Two configurations are rejected loudly rather than misbehaving:
+
+    * multi-process without ``--data_parallel`` — each rank would train
+      an INDEPENDENT copy on its local devices while sharing checkpoint
+      paths;
+    * ``--zero_opt`` — the CLI's cadence checkpoints run coordinator-
+      only (engine ``on_batch`` gating), and cross-process-sharded Adam
+      moments are not addressable from one process; the library loop
+      pattern (tools/multiprocess_drive.py --gang_worker: every rank
+      calls ``parallel.save_on_coordinator``) covers that topology.
+    """
+    from eadgan_tpu.parallel import initialize
+
+    initialize()
+    import jax
+
+    if jax.process_count() <= 1:
+        return
+    if not getattr(opt, "data_parallel", False):
+        raise SystemExit(
+            "multi-process run detected (jax.process_count() > 1): pass "
+            "--data_parallel so ranks join one global mesh — without it "
+            "every rank would train an independent model against the "
+            "same checkpoint paths"
+        )
+    if getattr(opt, "zero_opt", False):
+        raise SystemExit(
+            "--zero_opt is not supported in multi-process CLI runs: "
+            "cadence checkpoints write from the coordinator only, and "
+            "cross-process ZeRO moment shards are not addressable from "
+            "one process. Use the library loop pattern instead "
+            "(tools/multiprocess_drive.py --gang_worker routes every "
+            "save through parallel.save_on_coordinator)"
+        )
 
 
 def setup_preemption(opt):

@@ -16,7 +16,7 @@ import os
 import jax
 import jax.numpy as jnp
 
-from eadgan_tpu.cli.common import add_adam_args, add_run_args, exit_if_preempted, jit_generator_apply, maybe_resume, resolve_compute_dtype, run_epochs, setup_preemption
+from eadgan_tpu.cli.common import add_adam_args, add_run_args, init_multiprocess, exit_if_preempted, jit_generator_apply, maybe_resume, resolve_compute_dtype, run_epochs, setup_preemption
 from eadgan_tpu.data import load_mnist
 from eadgan_tpu.models import (
     AffineApproximator,
@@ -49,6 +49,9 @@ def main(argv=None) -> None:
     parser.add_argument("--allow_fresh_approximator", action="store_true")
     add_run_args(parser)
     opt = parser.parse_args(argv)
+    # Join a supervised gang (cli.supervise --ranks N) before any jax
+    # device use; validates --data_parallel/--zero_opt gang rules.
+    init_multiprocess(opt)
     print(opt)
 
     config = MnistConfig(

@@ -15,7 +15,7 @@ import os
 
 import jax
 
-from eadgan_tpu.cli.common import add_adam_args, add_run_args, exit_if_preempted, maybe_resume, run_epochs, setup_preemption
+from eadgan_tpu.cli.common import add_adam_args, add_run_args, init_multiprocess, exit_if_preempted, maybe_resume, run_epochs, setup_preemption
 from eadgan_tpu.data import load_dsprites
 from eadgan_tpu.models import SpritesEncoderPxy
 from eadgan_tpu.ops import warp_affine
@@ -72,6 +72,9 @@ def make_sampler(encoder, config: PxyConfig, out_dir: str):
 
 def main(argv=None, colored: bool = False) -> None:
     opt = build_parser(colored).parse_args(argv)
+    # Join a supervised gang (cli.supervise --ranks N) before any jax
+    # device use; validates --data_parallel/--zero_opt gang rules.
+    init_multiprocess(opt)
     print(opt)
 
     config = PxyConfig(

@@ -18,7 +18,7 @@ import os
 import jax
 import jax.numpy as jnp
 
-from eadgan_tpu.cli.common import add_adam_args, add_run_args, exit_if_preempted, jit_generator_apply, maybe_resume, resolve_compute_dtype, run_epochs, setup_preemption
+from eadgan_tpu.cli.common import add_adam_args, add_run_args, init_multiprocess, exit_if_preempted, jit_generator_apply, maybe_resume, resolve_compute_dtype, run_epochs, setup_preemption
 from eadgan_tpu.data import load_dsprites
 from eadgan_tpu.models import (
     SpritesDiscriminator,
@@ -58,6 +58,9 @@ def build_parser(colored: bool) -> argparse.ArgumentParser:
 
 def main(argv=None, colored: bool = False) -> None:
     opt = build_parser(colored).parse_args(argv)
+    # Join a supervised gang (cli.supervise --ranks N) before any jax
+    # device use; validates --data_parallel/--zero_opt gang rules.
+    init_multiprocess(opt)
     print(opt)
 
     config = SpritesGanConfig(

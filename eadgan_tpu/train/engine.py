@@ -167,6 +167,18 @@ def run_epochs(
     if not is_coordinator():
         on_batch = lambda *a, **k: None  # noqa: E731
         logger = None
+    elif jax.process_count() > 1:
+        # Coordinator-only callbacks CANNOT dispatch programs over the
+        # global mesh — the other processes never join, and the
+        # dispatch parks forever (a trainer's sample callback jits the
+        # generator forward on the train state).  Hand callbacks a HOST
+        # materialization of the (replicated) state instead: their jits
+        # then compile process-local over the coordinator's own
+        # devices.  device_get reads the local replica — no collective.
+        _user_on_batch = on_batch
+
+        def on_batch(step, state, metrics, batch):  # noqa: F811
+            _user_on_batch(step, jax.device_get(state), metrics, batch)
 
     # Schedule extent, for the cut_short verdict below: did a graceful
     # stop actually lose work, or did the signal land on a schedule that
@@ -312,6 +324,13 @@ def _run_epochs_inner(
         state = replicate(mesh, state)
         device_put = lambda b: shard_batch(mesh, b)  # noqa: E731
 
+    # Multi-process: global-mesh device_puts must come from the main
+    # thread in rank-identical order (see the chained engine's
+    # mp_sync_put note) — the prefetch thread then only gathers host
+    # arrays and the loop below places them.
+    mp_sync_put = jax.process_count() > 1
+    thread_put = (lambda b: b) if mp_sync_put else device_put
+
     use_native = data.dtype == np.uint8 and labels is None
     if random_flip and not use_native:
         raise ValueError("random_flip requires the uint8 label-free ingest path")
@@ -324,14 +343,14 @@ def _run_epochs_inner(
                 # re-drawn every batch fetch (reference torchvision
                 # RandomHorizontalFlip, celebA/EAD-GAN_celebA.py:199)
                 mask = flip_rng.random(len(idx)) < 0.5
-                return device_put(
+                return thread_put(
                     gather_normalize_flip(data, idx, mask, scale, shift)
                 )
 
         else:
 
             def place(idx):
-                return device_put(gather_normalize(data, idx, scale, shift))
+                return thread_put(gather_normalize(data, idx, scale, shift))
 
     for epoch in range(start_step // max(n_batches, 1), n_epochs):
         if use_native:
@@ -342,10 +361,12 @@ def _run_epochs_inner(
         else:
             iterator = Prefetcher(
                 epoch_batches(data, batch_size, host_rng, labels=labels),
-                place=device_put,
+                place=thread_put,
             )
         try:
             for batch in iterator:
+                if mp_sync_put:
+                    batch = device_put(batch)
                 if not isinstance(batch, tuple):
                     batch = (batch,)
                 state, metrics = step_fn(state, *batch)
@@ -517,7 +538,14 @@ def _run_epochs_chained(
         from eadgan_tpu.train.chain import EventWorker
 
         worker = EventWorker()
-    snapshot = jax.jit(lambda t: jax.tree_util.tree_map(jax.numpy.copy, t))
+    if jax.process_count() > 1:
+        # The jitted device-side copy would be a global-mesh program the
+        # peers never join (worker events run on the coordinator only) —
+        # fetch the local replica to host instead.  Donation stays safe:
+        # the host copy completes before the next window dispatches.
+        snapshot = jax.device_get
+    else:
+        snapshot = jax.jit(lambda t: jax.tree_util.tree_map(jax.numpy.copy, t))
 
     batches_done = start_step
     epoch = start_step // max(n_batches, 1)
@@ -565,8 +593,19 @@ def _run_epochs_chained(
                         else:
                             yield (s, k, last_rows, None), (img,)
 
+            # Multi-process: EVERY global-mesh operation (device_put of
+            # windows, the chained dispatch, the stop-flag collective)
+            # must be issued from the main thread in the same order on
+            # every rank — a prefetch-thread device_put racing the main
+            # thread's collectives reorders Gloo ops differently per
+            # rank and aborts the job with a collective mismatch.  The
+            # prefetch thread then only does host-side gather work.
+            mp_sync_put = jax.process_count() > 1
             iterator = Prefetcher(
-                windows(), place=lambda item: (item[0], device_put(item[1]))
+                windows(),
+                place=(lambda item: item) if mp_sync_put else (
+                    lambda item: (item[0], device_put(item[1]))
+                ),
             )
             pending = None  # previous window's (start, k, stacked device metrics)
 
@@ -621,6 +660,8 @@ def _run_epochs_chained(
             try:
                 t_prev = None
                 for (s, k, last_rows, last_mask), win_arrays in iterator:
+                    if mp_sync_put:
+                        win_arrays = device_put(win_arrays)
                     if k not in seen_sizes:
                         # Fresh window size = fresh XLA program: give the
                         # watchdog a compile allowance.  Dispatch is async
